@@ -1,0 +1,95 @@
+"""Continuous-aggregate rollup tiers (1h -> 1d -> 30d).
+
+The reference's analog is ``temporal_average`` / ``multilook``
+(reference: objects/stack.py:451-456 per-pixel nanmean over time;
+src/mintpy/stdproc/multilook.py:19-130 window-bin mean): downsample a dense
+series into coarser bins. Here each tier stores *decomposable partials*
+``(cnt, sum, min, max)`` per (key, bucket) and derives ``mean = sum/cnt``,
+so coarser tiers are computed **from the finer tier's partials, never from
+raw data** — cascade re-aggregation keeps every tier exactly consistent
+(SURVEY.md §2.4) and turns the 30d refresh into an aggregation over ~720x
+fewer rows than the raw table. Catalyst plans each step as partial+final
+hash aggregation (map-side combine), so at 100 TB the only full-data shuffle
+is the 1h tier build; 1d and 30d shuffle tier-sized data.
+
+NaN/no-data semantics mirror the reference (NaN rows are excluded from
+nanmean, stack.py:434-449): Spark's count/sum/min/max already skip NULLs;
+callers map sentinel no-data values to NULL beforehand (see mask.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mintpy_spark.functions.timefn import TIER_SECONDS, bucket_start
+
+PARTIAL_COLS = ("cnt", "vsum", "vmin", "vmax")
+
+
+def rollup_from_obs(
+    obs: DataFrame, value_col: str, tier: str = "1h", key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """Raw observations -> finest tier partials (key, bucket_start, cnt, vsum, vmin, vmax)."""
+    return (
+        obs.select(
+            key,
+            bucket_start(F.col(ts), tier).alias("bucket_start"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.sum("v").alias("vsum"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+    )
+
+
+def cascade(tier_df: DataFrame, to_tier: str, key: str = "url") -> DataFrame:
+    """Re-aggregate a finer tier's partials into a coarser tier.
+
+    Exactness: cnt/min/max are associative; vsum over integral metrics is
+    exact; for floating metrics the partial-sum tree differs from a raw-data
+    sum only in the last ulp (documented in SURVEY.md §7.3 hard-part 1).
+    """
+    return (
+        tier_df.select(
+            key,
+            bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
+            *PARTIAL_COLS,
+        )
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+def with_mean(tier_df: DataFrame) -> DataFrame:
+    """Attach the derived mean (never stored — derived from partials)."""
+    return tier_df.withColumn("vmean", F.col("vsum") / F.col("cnt"))
+
+
+def build_tiers(
+    obs: DataFrame,
+    value_col: str,
+    tiers: tuple[str, ...] = ("1h", "1d", "30d"),
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> dict[str, DataFrame]:
+    """Full cascade: finest tier from raw obs, each coarser tier from the
+    previous tier's partials. ``tiers`` must be fine -> coarse."""
+    widths = [TIER_SECONDS[t] for t in tiers]
+    if widths != sorted(widths):
+        raise ValueError("tiers must be ordered fine -> coarse")
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for t in tiers:
+        prev = rollup_from_obs(obs, value_col, t, key=key, ts=ts) if prev is None else cascade(prev, t, key=key)
+        out[t] = prev
+    return out
