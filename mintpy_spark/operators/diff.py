@@ -1,0 +1,117 @@
+"""Series algebra: diffs, pairwise deltas, temporal derivative.
+
+Recasts the reference's schema-aligned binary dataset combinations
+(SURVEY.md §2.3; reference: src/mintpy/diff.py, src/mintpy/add.py,
+objects/stack.py:459-478) as equi-joins / windows on (key, ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def diff_series(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    how: str = "inner",
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """a - b on shared (key, ts) — diff_timeseries (diff.py:58-149).
+
+    how='inner' keeps only shared timestamps (the default there); 'left'
+    mirrors ``--force`` (missing b treated as 0, diff.py:100-104).
+    """
+    bb = b.select(key, ts, F.col(value_col).alias("_b"))
+    joined = a.join(bb, [key, ts], how)
+    rhs = F.coalesce(F.col("_b"), F.lit(0.0)) if how == "left" else F.col("_b")
+    return joined.select(key, ts, (F.col(value_col) - rhs).alias(value_col))
+
+
+def add_series(
+    dfs: list[DataFrame], value_col: str, key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """N-way sum with NaN-union semantics (add.py:18-87: a cell is null only
+    if null in all inputs; otherwise nulls count as 0)."""
+    out = None
+    for i, df in enumerate(dfs):
+        cur = df.select(key, ts, F.col(value_col).alias(f"_v{i}"))
+        out = cur if out is None else out.join(cur, [key, ts], "outer")
+    vals = [F.col(f"_v{i}") for i in range(len(dfs))]
+    all_null = F.coalesce(*vals).isNull() if len(vals) > 1 else vals[0].isNull()
+    total = sum((F.coalesce(v, F.lit(0.0)) for v in vals[1:]), F.coalesce(vals[0], F.lit(0.0)))
+    return out.select(key, ts, F.when(all_null, None).otherwise(total).alias(value_col))
+
+
+def pair_deltas(
+    obs: DataFrame,
+    value_col: str,
+    max_lag: int = 1,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Pairwise snapshot deltas — the interferogram-stack analog.
+
+    For each key, emit (key, ts1, ts2, delta, tbase_days) for consecutive
+    snapshot pairs up to connection level ``max_lag`` (the reference's
+    sequential-network of connection level n, stack.py:1113-1143). Built
+    with lead() windows: no self-join, one shuffle on key.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    frames = []
+    for lag in range(1, max_lag + 1):
+        frames.append(
+            obs.select(
+                key,
+                F.col(ts).alias("ts1"),
+                F.lead(ts, lag).over(w).alias("ts2"),
+                (F.lead(value_col, lag).over(w) - F.col(value_col)).alias("delta"),
+            ).where(F.col("ts2").isNotNull())
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.withColumn(
+        "tbase_days",
+        (F.col("ts2").cast("double") - F.col("ts1").cast("double")) / 86400.0,
+    )
+
+
+def reconstruct_pair_from_series(
+    series: DataFrame,
+    pairs: DataFrame,
+    value_col: str = "value",
+    key: str = "url",
+) -> DataFrame:
+    """diff_ifgram_and_timeseries (diff.py:299): evaluate ts[d2]-ts[d1] for
+    each pair via a double equi-join, subtract from the observed delta."""
+    s1 = series.select(key, F.col("bucket_start").alias("ts1"), F.col(value_col).alias("_v1"))
+    s2 = series.select(key, F.col("bucket_start").alias("ts2"), F.col(value_col).alias("_v2"))
+    return (
+        pairs.join(s1, [key, "ts1"])
+        .join(s2, [key, "ts2"])
+        .select(
+            key,
+            "ts1",
+            "ts2",
+            (F.col("delta") - (F.col("_v2") - F.col("_v1"))).alias("delta_residual"),
+        )
+    )
+
+
+def temporal_derivative(
+    obs: DataFrame, value_col: str, key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """Lag-1 difference along time (stack.py:459-478 timeseries.diff);
+    first epoch has no derivative (reference drops it)."""
+    w = Window.partitionBy(key).orderBy(ts)
+    return (
+        obs.select(
+            key,
+            F.col(ts).alias(ts),
+            (F.col(value_col) - F.lag(value_col).over(w)).alias("deriv"),
+        )
+        .where(F.col("deriv").isNotNull())
+    )

@@ -1,0 +1,102 @@
+"""Temporal smoothing filters over irregular series.
+
+Reference analogs (objects/stack.py:481-541 ``timeseries.filter``):
+* Gaussian-weighted moving average: weights exp(-dt^2 / (2 sigma^2))
+  normalized over the window (stack.py:505-520),
+* running median over a +-half-window (stack.py:522-528).
+
+Spark recast: range-frame windows over unix seconds — partition-local after
+one shuffle on the key; the Gaussian kernel is expressed with collect-free
+built-ins via a self-join-free trick: Spark lacks weighted avg over a range
+frame, so we compute it with two range-frame sums over transformed columns
+is impossible for data-dependent weights — instead the Gaussian path uses
+``collect_list`` over the range frame + ``aggregate()`` higher-order
+functions (still JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _range_window(key: str, ts: str, half_window_days: float) -> Window:
+    half = int(half_window_days * 86400)
+    return (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).cast("long"))
+        .rangeBetween(-half, half)
+    )
+
+
+def running_median(
+    obs: DataFrame,
+    value_col: str,
+    half_window_days: float = 15.0,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Median of values within +-half_window (stack.py:522-528).
+
+    Spark disallows ``median`` over a window frame, so the exact median is
+    computed JVM-side from a sorted collect over the bounded range frame
+    (list size bounded by the window width).
+    """
+    w = _range_window(key, ts, half_window_days)
+    arr = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
+    lo = F.element_at("_arr", ((F.size("_arr") + 1) / 2).cast("int"))
+    hi = F.element_at("_arr", (F.size("_arr") / 2 + 1).cast("int"))
+    return (
+        obs.withColumn("_arr", arr)
+        .withColumn("smoothed", (lo + hi) / 2.0)
+        .drop("_arr")
+    )
+
+
+def running_mean(
+    obs: DataFrame,
+    value_col: str,
+    half_window_days: float = 15.0,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Unweighted moving average over the range frame."""
+    w = _range_window(key, ts, half_window_days)
+    return obs.withColumn("smoothed", F.avg(value_col).over(w))
+
+
+def gaussian_filter(
+    obs: DataFrame,
+    value_col: str,
+    sigma_days: float = 30.0,
+    truncate: float = 3.0,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Gaussian-weighted temporal smoothing (stack.py:505-520).
+
+    For each row: smoothed = sum(w_i * v_i) / sum(w_i) over neighbors within
+    +-truncate*sigma, w_i = exp(-dt_i^2 / (2 sigma^2)). Implemented with a
+    range-frame collect of (t, v) pairs + higher-order ``aggregate`` —
+    all JVM expressions, no Python UDF; window size is bounded by the
+    truncation radius so the collected list stays small.
+    """
+    w = _range_window(key, ts, sigma_days * truncate)
+    t = F.col(ts).cast("double")
+    pairs = F.collect_list(F.struct(t.alias("t"), F.col(value_col).cast("double").alias("v"))).over(w)
+    sig2 = 2.0 * (sigma_days * 86400.0) ** 2
+    num = F.aggregate(
+        F.col("_pairs"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["v"] * F.exp(-F.pow(x["t"] - t, 2) / F.lit(sig2)),
+    )
+    den = F.aggregate(
+        F.col("_pairs"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.exp(-F.pow(x["t"] - t, 2) / F.lit(sig2)),
+    )
+    return (
+        obs.withColumn("_pairs", pairs)
+        .withColumn("smoothed", num / den)
+        .drop("_pairs")
+    )

@@ -1,0 +1,205 @@
+"""Per-key time-function regression — the ``timeseries2velocity`` analog.
+
+The reference fits, per pixel, an OLS model ``G m = d`` whose design matrix
+is composed from a declarative model dict (reference:
+utils/time_func.py:18-33 MODEL_EXAMPLE, matrix builders :290-476, solver
+:36-72 ``estimate_time_func``; driver src/mintpy/timeseries2velocity.py:130-455).
+We expose the same declarative model dict; the unit of work is a url group
+inside ``applyInPandas`` (one Arrow batch per group, numpy float32 math for
+value parity with the reference's compute dtype, ifgram_inversion.py:151).
+
+Model dict (units follow the reference):
+
+    {
+      "polynomial": 1,                  # degree; coeff k scaled 1/k! so
+                                        # c1 is velocity (time_func.py:293-312)
+      "periodic": [1.0, 0.5],           # periods in years -> cos+sin pairs
+      "step": ["2023-06-01"],           # Heaviside t > t_step (strict, :334-350)
+      "exp": {"2023-06-01": [60.0]},    # one-sided 1-exp(-(t-T)/tau) (:380)
+      "log": {"2023-06-01": [80.0]},    # one-sided log(1+(t-T)/tau)  (:425)
+    }
+
+Uncertainty: 'residue' method — ``m_std = sqrt(diag(inv(G'G)) * e2/(N-P))``
+exactly as timeseries2velocity.py:404-415.
+
+For the plain linear-velocity case there is also a **closed-form aggregate
+path** (`linear_velocity`): slope = covar_pop(t, v) / var_pop(t) per key —
+pure Catalyst partial+final aggregation, no Python, one shuffle. Use it when
+the model is just {"polynomial": 1}; it is the 100 TB fast path and is
+SQL-expressible for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mintpy_spark.functions.timefn import decimal_year
+
+
+def _decimal_year_np(ts: pd.Series) -> np.ndarray:
+    """Decimal year, 365.25 convention (ptime.py:193-227) — numpy mirror of
+    functions.timefn.decimal_year; must match it exactly."""
+    dt = pd.DatetimeIndex(ts)
+    frac = dt.hour / 24.0 + dt.minute / (24.0 * 60) + dt.second / (24.0 * 3600)
+    return (dt.year + (dt.dayofyear - 1 + frac.to_numpy()) / 365.25).to_numpy()
+
+
+def _to_year(x: Any) -> float:
+    """Onset spec (timestamp-like or decimal-year float) -> decimal year."""
+    if isinstance(x, (int, float)):
+        return float(x)
+    return float(_decimal_year_np(pd.Series([pd.Timestamp(x)]))[0])
+
+
+def param_names(model: dict) -> list[str]:
+    """Flat parameter-name list matching design-matrix column order
+    (mirrors the packing scheme of timeseries2velocity.py:497-692)."""
+    names: list[str] = []
+    deg = int(model.get("polynomial", 1))
+    poly = ["intercept", "velocity", "acceleration"]
+    names += [poly[k] if k < len(poly) else f"poly{k}" for k in range(deg + 1)]
+    for p in model.get("periodic", []):
+        names += [f"periodic{p}_cos", f"periodic{p}_sin"]
+    for i, _ in enumerate(model.get("step", [])):
+        names += [f"step{i}"]
+    i = 0
+    for onset, taus in model.get("exp", {}).items():
+        for _tau in taus:
+            names += [f"exp{i}"]
+            i += 1
+    i = 0
+    for onset, taus in model.get("log", {}).items():
+        for _tau in taus:
+            names += [f"log{i}"]
+            i += 1
+    return names
+
+
+def design_matrix(dy: np.ndarray, model: dict, ref_year: float) -> np.ndarray:
+    """Design matrix G (num_obs, num_param), float32, reference semantics
+    (time_func.py:204-289 get_design_matrix4time_func and sub-builders)."""
+    yr_diff = (dy - ref_year).astype(np.float64)
+    cols: list[np.ndarray] = []
+    deg = int(model.get("polynomial", 1))
+    for k in range(deg + 1):
+        cols.append((yr_diff**k) / math.factorial(k))
+    for p in model.get("periodic", []):
+        cols.append(np.cos(2 * np.pi / p * yr_diff))
+        cols.append(np.sin(2 * np.pi / p * yr_diff))
+    for s in model.get("step", []):
+        cols.append((dy > _to_year(s)).astype(np.float64))
+    for onset, taus in model.get("exp", {}).items():
+        t0 = _to_year(onset)
+        for tau_days in taus:
+            tau = tau_days / 365.25
+            cols.append((dy > t0) * (1 - np.exp(-(dy - t0) / tau)))
+    for onset, taus in model.get("log", {}).items():
+        t0 = _to_year(onset)
+        for tau_days in taus:
+            tau = tau_days / 365.25
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = np.nan_to_num(np.log(1 + (dy - t0) / tau), nan=0.0, neginf=0.0)
+            cols.append((dy > t0) * v)
+    return np.column_stack(cols).astype(np.float32)
+
+
+def fit_time_func(
+    obs: DataFrame,
+    value_col: str,
+    model: dict | None = None,
+    key: str = "url",
+    ts: str = "warc_ts",
+    ref_year: float | None = None,
+) -> DataFrame:
+    """Grouped OLS fit: one row per key with fitted params, stds, residue.
+
+    Output: (key, <param>..., <param>_std..., residue, num_obs).
+    NaN/insufficient-rank groups yield NULL params (mirrors the reference
+    writing no-data for masked-out pixels).
+    """
+    model = model or {"polynomial": 1}
+    names = param_names(model)
+    fields = [T.StructField(key, T.StringType())]
+    fields += [T.StructField(n, T.DoubleType()) for n in names]
+    fields += [T.StructField(f"{n}_std", T.DoubleType()) for n in names]
+    fields += [
+        T.StructField("residue", T.DoubleType()),
+        T.StructField("num_obs", T.LongType()),
+    ]
+    schema = T.StructType(fields)
+    num_param = len(names)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        v = pdf[value_col].to_numpy(dtype=np.float32)
+        ok = ~np.isnan(v)
+        v, tvals = v[ok], pdf[ts].to_numpy()[ok]
+        out: dict[str, Any] = {key: [pdf[key].iloc[0]]}
+        n = int(v.size)
+        if n < num_param:
+            for nm in names:
+                out[nm] = [None]
+                out[f"{nm}_std"] = [None]
+            out["residue"] = [None]
+            out["num_obs"] = [n]
+            return pd.DataFrame(out)
+        dy = _decimal_year_np(pd.Series(tvals))
+        ref = ref_year if ref_year is not None else float(dy[0])
+        G = design_matrix(dy, model, ref)
+        m, e2, rank, _sv = np.linalg.lstsq(G.astype(np.float64), v.astype(np.float64), rcond=None)
+        if e2.size == 0:  # rank-deficient: recompute residual explicitly
+            e2 = np.array([float(np.sum((v - G @ m.astype(np.float32)) ** 2))])
+        # residue-method std (timeseries2velocity.py:404-415)
+        if n > num_param and rank == num_param:
+            g_inv = np.linalg.inv(G.T.astype(np.float64) @ G.astype(np.float64))
+            m_var = float(e2[0]) / (n - num_param)
+            m_std = np.sqrt(np.diag(g_inv) * m_var)
+        else:
+            m_std = np.full(num_param, np.nan)
+        for i, nm in enumerate(names):
+            out[nm] = [float(m[i])]
+            out[f"{nm}_std"] = [float(m_std[i]) if np.isfinite(m_std[i]) else None]
+        out["residue"] = [float(np.sqrt(e2[0])) if e2.size else None]
+        out["num_obs"] = [n]
+        return pd.DataFrame(out)
+
+    return obs.select(key, ts, value_col).groupBy(key).applyInPandas(fit, schema)
+
+
+def linear_velocity(
+    obs: DataFrame, value_col: str, key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """Closed-form per-key linear velocity (chars/year) as pure aggregates.
+
+    slope = covar_pop(t_years, v) / var_pop(t_years);
+    intercept = avg(v) - slope * avg(t_years), t in decimal years
+    (365.25 convention). Equivalent to the reference's polynomial-degree-1
+    fit; runs as Catalyst partial+final hash aggregation (single shuffle,
+    map-side combine) — the scale path for the plain-velocity query.
+    """
+    t = decimal_year(F.col(ts))
+    v = F.col(value_col).cast("double")
+    return (
+        obs.select(key, t.alias("t"), v.alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy(key)
+        .agg(
+            (F.covar_pop("t", "v") / F.var_pop("t")).alias("velocity"),
+            F.avg("v").alias("_vbar"),
+            F.avg("t").alias("_tbar"),
+            F.count("v").alias("num_obs"),
+        )
+        .select(
+            key,
+            "velocity",
+            (F.col("_vbar") - F.col("velocity") * F.col("_tbar")).alias("intercept"),
+            "num_obs",
+        )
+    )
