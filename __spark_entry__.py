@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The real implementations live in ``mintpy_spark.queries``; this module is a
+thin adapter so the engine package stays importable on executors via
+``spark-submit --py-files``.
 """
 
 from __future__ import annotations
@@ -13,26 +16,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import mintpy_spark.queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: 3-tier rollup cascade of the events series at
+    sf0.001 — 1h partials -> 1d -> 30d with derived means."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import cascade, rollup_from_obs, with_mean
+
+    ev = Q.load(spark, "/root/testdata/sf0.001", "events")
+    t1h = rollup_from_obs(ev, "value", "1h", key="user_id", ts="ts")
+    t30 = cascade(cascade(t1h, "1d", key="user_id"), "30d", key="user_id")
+    return with_mean(t30).orderBy("user_id", "bucket_start").select(
+        "user_id", "bucket_start", "cnt", F.round("vsum", 2).alias("vsum"),
+        "vmin", "vmax", F.round("vmean", 4).alias("vmean"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

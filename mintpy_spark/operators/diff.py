@@ -75,7 +75,11 @@ def pair_deltas(
         out = out.unionByName(fdf)
     return out.withColumn(
         "tbase_days",
-        (F.col("ts2").cast("double") - F.col("ts1").cast("double")) / 86400.0,
+        (
+            F.col("ts2").cast("timestamp").cast("double")
+            - F.col("ts1").cast("timestamp").cast("double")
+        )
+        / 86400.0,
     )
 
 

@@ -24,7 +24,7 @@ def _range_window(key: str, ts: str, half_window_days: float) -> Window:
     half = int(half_window_days * 86400)
     return (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).cast("long"))
+        .orderBy(F.col(ts).cast("timestamp").cast("long"))
         .rangeBetween(-half, half)
     )
 
@@ -82,7 +82,7 @@ def gaussian_filter(
     truncation radius so the collected list stays small.
     """
     w = _range_window(key, ts, sigma_days * truncate)
-    t = F.col(ts).cast("double")
+    t = F.col(ts).cast("timestamp").cast("double")
     pairs = F.collect_list(F.struct(t.alias("t"), F.col(value_col).cast("double").alias("v"))).over(w)
     sig2 = 2.0 * (sigma_days * 86400.0) ** 2
     num = F.aggregate(

@@ -99,10 +99,12 @@ def gapfill(
         .orderBy("bucket_start")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    prev_ts = F.last(F.col("obs_ts").cast("double"), ignorenulls=True).over(w_back)
+    # NTZ timestamps cannot cast straight to double under ANSI; go via timestamp
+    obs_sec = F.col("obs_ts").cast("timestamp").cast("double")
+    prev_ts = F.last(obs_sec, ignorenulls=True).over(w_back)
     next_val = F.first("value", ignorenulls=True).over(w_fwd)
-    next_ts = F.first(F.col("obs_ts").cast("double"), ignorenulls=True).over(w_fwd)
-    t = F.col("bucket_start").cast("double")
+    next_ts = F.first(obs_sec, ignorenulls=True).over(w_fwd)
+    t = F.col("bucket_start").cast("timestamp").cast("double")
     interp = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
         F.when(prev_val.isNull(), next_val)
         .when(next_val.isNull(), prev_val)

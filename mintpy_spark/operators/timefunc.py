@@ -174,17 +174,24 @@ def fit_time_func(
 
 
 def linear_velocity(
-    obs: DataFrame, value_col: str, key: str = "url", ts: str = "warc_ts"
+    obs: DataFrame,
+    value_col: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    ref_year: float = 0.0,
 ) -> DataFrame:
     """Closed-form per-key linear velocity (chars/year) as pure aggregates.
 
     slope = covar_pop(t_years, v) / var_pop(t_years);
     intercept = avg(v) - slope * avg(t_years), t in decimal years
-    (365.25 convention). Equivalent to the reference's polynomial-degree-1
-    fit; runs as Catalyst partial+final hash aggregation (single shuffle,
-    map-side combine) — the scale path for the plain-velocity query.
+    (365.25 convention) minus ``ref_year``. Equivalent to the reference's
+    polynomial-degree-1 fit; runs as Catalyst partial+final hash aggregation
+    (single shuffle, map-side combine) — the scale path for the
+    plain-velocity query. Pass a ref_year near the data (the reference
+    likewise anchors yr_diff at REF_DATE) so the intercept is a local value,
+    not a year-0 extrapolation.
     """
-    t = decimal_year(F.col(ts))
+    t = decimal_year(F.col(ts)) - F.lit(float(ref_year))
     v = F.col(value_col).cast("double")
     return (
         obs.select(key, t.alias("t"), v.alias("v"))

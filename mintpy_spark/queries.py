@@ -1,0 +1,379 @@
+"""Driver-contract query registry: Spark implementations + DuckDB oracles.
+
+Each entry pairs a Spark DataFrame plan (built from engine operators) with
+an ANSI-SQL oracle that DuckDB runs over the same parquet tables. The
+driver compares row-count + schema + order-insensitive value hashes, so:
+
+* every computed column is aliased identically on both sides,
+* floating aggregates are rounded in-query on BOTH sides (round(x, 4)) so
+  engine-order summation ulp differences cannot flip the hash,
+* sums of 2-decimal inputs are rounded to 2 decimals (double sums land
+  within ~1e-10 of an exact 2-dp multiple, so round(x,2) is collision-free),
+* DuckDB's date_trunc returns DATE; oracles cast to TIMESTAMP to match
+  Spark.
+
+The testdata mapping of the engine's (url, warc_ts, value) contract:
+``events(user_id, ts, value)`` is the observation series (user_id = series
+key), ``documents`` drives the text/dedup operators, ``embeddings`` the
+similarity operators, and the TPC-H-ish tables exercise general
+scan/filter/join/agg coverage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mintpy_spark.functions.timefn import decimal_year
+from mintpy_spark.operators.diff import pair_deltas, temporal_derivative
+from mintpy_spark.operators.gapfill import gapfill
+from mintpy_spark.operators.rollup import cascade, rollup_from_obs
+from mintpy_spark.operators.stats import epoch_std_rms, spatial_average, temporal_average
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# SQL fragment: decimal year with the reference's 365.25 convention
+# (ptime.py:193-227), identical term-for-term to functions.timefn.decimal_year.
+_DY_SQL = (
+    "(year({t}) + (dayofyear({t}) - 1 + hour({t})/24.0 + minute({t})/1440.0"
+    " + second({t})/86400.0) / 365.25)"
+)
+
+
+def _round4(c) -> F.Column:
+    return F.round(c, 4)
+
+
+# ---------------------------------------------------------------------------
+# Tier rollups (temporal_average / multilook analog, stack.py:451, multilook.py:19)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rollup_1h",
+    """
+    SELECT user_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(value)                            AS cnt,
+           ROUND(SUM(value), 2)                    AS vsum,
+           MIN(value)                              AS vmin,
+           MAX(value)                              AS vmax,
+           ROUND(SUM(value) / COUNT(value), 4)     AS vmean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = rollup_from_obs(ev, "value", "1h", key="user_id", ts="ts")
+    return t.select(
+        "user_id",
+        "bucket_start",
+        "cnt",
+        F.round("vsum", 2).alias("vsum"),
+        "vmin",
+        "vmax",
+        _round4(F.col("vsum") / F.col("cnt")).alias("vmean"),
+    )
+
+
+@_q(
+    "rollup_1d_cascade",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(value)                          AS cnt,
+           ROUND(SUM(value), 2)                  AS vsum,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1d tier computed FROM the 1h tier partials (cascade), checked against
+    a direct daily aggregation oracle — proves cross-tier consistency."""
+    ev = load(spark, sf_dir, "events")
+    t1h = rollup_from_obs(ev, "value", "1h", key="user_id", ts="ts")
+    t1d = cascade(t1h, "1d", key="user_id")
+    return t1d.select(
+        "user_id",
+        "bucket_start",
+        "cnt",
+        F.round("vsum", 2).alias("vsum"),
+        "vmin",
+        "vmax",
+    )
+
+
+@_q(
+    "rollup_30d_cascade",
+    """
+    SELECT user_id,
+           TIMESTAMP '1970-01-01'
+             + (epoch(ts)::BIGINT - epoch(ts)::BIGINT % 2592000) * INTERVAL 1 SECOND
+             AS bucket_start,
+           COUNT(value)                      AS cnt,
+           ROUND(SUM(value), 2)              AS vsum,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_30d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t1h = rollup_from_obs(ev, "value", "1h", key="user_id", ts="ts")
+    t30 = cascade(cascade(t1h, "1d", key="user_id"), "30d", key="user_id")
+    return t30.select(
+        "user_id",
+        "bucket_start",
+        "cnt",
+        F.round("vsum", 2).alias("vsum"),
+        "vmin",
+        "vmax",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-series / per-series aggregates (stack.py:371-456)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "spatial_avg_1d",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           ROUND(AVG(value), 4) AS spatial_avg,
+           COUNT(value)         AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def spatial_avg_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "bucket_start", F.date_trunc("day", "ts")
+    )
+    out = spatial_average(ev, "value", time_col="bucket_start")
+    return out.select("bucket_start", _round4("spatial_avg").alias("spatial_avg"), "cnt")
+
+
+@_q(
+    "temporal_avg",
+    """
+    SELECT user_id, ROUND(AVG(value), 4) AS temporal_avg, COUNT(value) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def temporal_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = temporal_average(ev, "value", key="user_id")
+    return out.select("user_id", _round4("temporal_avg").alias("temporal_avg"), "cnt")
+
+
+@_q(
+    "epoch_std_rms_1d",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           ROUND(STDDEV_POP(value), 4)      AS std,
+           ROUND(SQRT(AVG(value * value)), 4) AS rms,
+           COUNT(value) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def epoch_std_rms_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "bucket_start", F.date_trunc("day", "ts")
+    )
+    out = epoch_std_rms(ev, "value", time_col="bucket_start")
+    return out.select(
+        "bucket_start", _round4("std").alias("std"), _round4("rms").alias("rms"), "cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed series ops (stack.py:459-478; diff.py; ifgram pair network)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "temporal_derivative",
+    """
+    SELECT user_id, ts,
+           ROUND(deriv, 4) AS deriv
+    FROM (
+      SELECT user_id, ts,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS deriv
+      FROM events
+    ) WHERE deriv IS NOT NULL
+    """,
+)
+def temporal_derivative_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = temporal_derivative(ev, "value", key="user_id", ts="ts")
+    return out.select("user_id", "ts", _round4("deriv").alias("deriv"))
+
+
+@_q(
+    "pair_deltas_lag1",
+    """
+    SELECT user_id, ts1, ts2,
+           ROUND(delta, 4) AS delta,
+           ROUND((epoch(ts2) - epoch(ts1)) / 86400.0, 4) AS tbase_days
+    FROM (
+      SELECT user_id, ts AS ts1,
+             lead(ts)    OVER (PARTITION BY user_id ORDER BY ts) AS ts2,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts) - value AS delta
+      FROM events
+    ) WHERE ts2 IS NOT NULL
+    """,
+)
+def pair_deltas_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = pair_deltas(ev, "value", max_lag=1, key="user_id", ts="ts")
+    return out.select(
+        "user_id", "ts1", "ts2", _round4("delta").alias("delta"),
+        _round4("tbase_days").alias("tbase_days"),
+    )
+
+
+@_q(
+    "ref_in_time",
+    """
+    SELECT user_id, ts,
+           ROUND(value - first_value(value) OVER (PARTITION BY user_id ORDER BY ts), 4)
+             AS value
+    FROM events
+    """,
+)
+def ref_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mintpy_spark.operators.reference import reference_in_time
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = reference_in_time(ev, "value", key="user_id", ts="ts")
+    return out.select("user_id", "ts", _round4("value").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill (SBAS inversion analog, ifgram_inversion.py:91-227)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_BASE = """
+    WITH b AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+             max(ts)            AS obs_ts,
+             arg_max(value, ts) AS value
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT user_id,
+             unnest(generate_series(min(bucket_start), max(bucket_start),
+                                    INTERVAL 1 DAY)) AS bucket_start
+      FROM b GROUP BY user_id
+    ), j AS (
+      SELECT g.user_id, g.bucket_start, b.value, b.obs_ts
+      FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_start = b.bucket_start
+    )
+"""
+
+@_q(
+    "gapfill_lastobs_1d",
+    _GAPFILL_BASE
+    + """
+    SELECT user_id, bucket_start,
+           ROUND(last_value(value IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket_start), 4) AS value,
+           value IS NULL AS filled
+    FROM j
+    """,
+)
+def gapfill_lastobs_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = gapfill(ev, "value", tier="1d", mode="last_obs", key="user_id", ts="ts")
+    return out.select("user_id", "bucket_start", _round4("value").alias("value"), "filled")
+
+
+@_q(
+    "gapfill_linear_1d",
+    _GAPFILL_BASE
+    + """
+    SELECT user_id, bucket_start,
+           ROUND(CASE
+             WHEN value IS NOT NULL THEN value
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (epoch(bucket_start) - prev_t) / (next_t - prev_t)
+           END, 4) AS value,
+           value IS NULL AS filled
+    FROM (
+      SELECT user_id, bucket_start, value,
+        last_value(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(epoch(obs_ts) IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(epoch(obs_ts) IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM j
+    )
+    """,
+)
+def gapfill_linear_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = gapfill(ev, "value", tier="1d", mode="linear", key="user_id", ts="ts")
+    return out.select("user_id", "bucket_start", _round4("value").alias("value"), "filled")
+
+
+# ---------------------------------------------------------------------------
+# Velocity (timeseries2velocity closed form, time_func.py:36-72)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "velocity_linear",
+    f"""
+    SELECT user_id,
+           ROUND(covar_pop(t, value) / var_pop(t), 4) AS velocity,
+           ROUND(AVG(value) - covar_pop(t, value) / var_pop(t) * AVG(t), 4)
+             AS intercept,
+           COUNT(value) AS num_obs
+    FROM (SELECT user_id, value, {_DY_SQL.format(t='ts')} - 2024.0 AS t FROM events)
+    GROUP BY user_id
+    """,
+)
+def velocity_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intercept anchored at ref_year=2024 (value-scale, 4-dp-round-safe)."""
+    from mintpy_spark.operators.timefunc import linear_velocity
+
+    ev = load(spark, sf_dir, "events")
+    out = linear_velocity(ev, "value", key="user_id", ts="ts", ref_year=2024.0)
+    return out.select(
+        "user_id",
+        _round4("velocity").alias("velocity"),
+        _round4("intercept").alias("intercept"),
+        "num_obs",
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
