@@ -1,0 +1,167 @@
+"""Operator semantics: diff/add, referencing, stats, filters, masks."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mintpy_spark.operators.diff import (
+    add_series,
+    diff_series,
+    pair_deltas,
+    reconstruct_pair_from_series,
+    temporal_derivative,
+)
+from mintpy_spark.operators.filters import gaussian_filter, running_mean, running_median
+from mintpy_spark.operators.gapfill import gapfill
+from mintpy_spark.operators.mask import (
+    apply_mask,
+    common_valid_keys,
+    live,
+    remap_nodata,
+    retain_recent,
+    threshold_mask,
+    tombstone,
+)
+from mintpy_spark.operators.reference import (
+    auto_reference_key,
+    reference_in_space,
+    reference_in_time,
+)
+from mintpy_spark.operators.stats import (
+    auto_reference_epoch,
+    epoch_std_rms,
+    mad_outlier_epochs,
+    spatial_average,
+)
+
+
+def test_self_diff_zero(obs):
+    d = diff_series(obs, obs, "text_length")
+    assert d.agg(F.max(F.abs("text_length"))).collect()[0][0] == 0
+
+
+def test_add_doubles(obs):
+    a = add_series([obs, obs], "text_length")
+    chk = (
+        a.join(
+            obs.select("url", "warc_ts", F.col("text_length").alias("o")),
+            ["url", "warc_ts"],
+        )
+        .agg(F.max(F.abs(F.col("text_length") - 2 * F.col("o"))))
+        .collect()[0][0]
+    )
+    assert chk == 0
+
+
+def test_derivative_sums_to_range(obs):
+    """Telescoping: sum of lag-1 diffs == last - first per key."""
+    d = temporal_derivative(obs, "text_length").groupBy("url").agg(
+        F.sum("deriv").alias("s")
+    )
+    rng = obs.groupBy("url").agg(
+        (F.max_by("text_length", "warc_ts") - F.min_by("text_length", "warc_ts")).alias("r")
+    )
+    bad = d.join(rng, "url").where(F.abs(F.col("s") - F.col("r")) > 1e-6)
+    assert bad.count() == 0
+
+
+def test_pair_reconstruction_residual_zero(obs):
+    """Pairs built from the series itself reconstruct exactly: the SBAS
+    closure property (ifgram_inversion.py:194-196)."""
+    pairs = pair_deltas(obs, "text_length", max_lag=2)
+    series = gapfill(obs, "text_length", tier="1h", mode="last_obs")
+    # evaluate series at the pair endpoints' hour buckets
+    from mintpy_spark.functions.timefn import bucket_start
+
+    p = pairs.withColumn("ts1", bucket_start(F.col("ts1"), "1h")).withColumn(
+        "ts2", bucket_start(F.col("ts2"), "1h")
+    )
+    r = reconstruct_pair_from_series(series, p, "value")
+    # residual is zero whenever the bucket kept the same obs the pair used
+    assert r.where(F.abs("delta_residual") > 1e-6).count() < r.count() * 0.05
+
+
+def test_reference_in_time_first_zero(obs):
+    r = reference_in_time(obs, "text_length")
+    firsts = r.groupBy("url").agg(F.min_by("text_length", "warc_ts").alias("f"))
+    assert firsts.agg(F.max(F.abs("f"))).collect()[0][0] == 0
+
+
+def test_reference_in_space_ref_zero(obs):
+    ref = obs.select("url").first().url
+    r = reference_in_space(obs, "text_length", ref)
+    mx = (
+        r.where(F.col("url") == ref)
+        .agg(F.max(F.abs("text_length")))
+        .collect()[0][0]
+    )
+    assert mx == 0
+
+
+def test_auto_reference_key(spark, obs):
+    k = auto_reference_key(obs, "text_length")
+    assert isinstance(k, str) and k.startswith("https://")
+
+
+def test_spatial_average_median(obs):
+    day = obs.withColumn("b", F.date_trunc("day", "warc_ts"))
+    med = spatial_average(day, "text_length", time_col="b", use_median=True)
+    assert "spatial_med" in med.columns and med.count() > 0
+
+
+def test_auto_ref_epoch_and_mad(obs):
+    day = obs.withColumn("b", F.date_trunc("day", "warc_ts"))
+    rms = epoch_std_rms(day, "text_length", time_col="b")
+    ref = auto_reference_epoch(rms, "b")
+    assert ref is not None
+    out = mad_outlier_epochs(rms, time_col="b")
+    assert out.count() >= 0
+
+
+def test_gaussian_filter_smooths(obs):
+    sm = gaussian_filter(obs, "text_length", sigma_days=30.0)
+    # smoothing reduces per-key variance of the signal
+    v0 = obs.groupBy("url").agg(F.var_pop("text_length").alias("v"))
+    v1 = sm.groupBy("url").agg(F.var_pop("smoothed").alias("v"))
+    j = v0.join(v1.withColumnRenamed("v", "vs"), "url").agg(
+        F.avg((F.col("vs") < F.col("v")).cast("int"))
+    ).collect()[0][0]
+    assert j > 0.9
+
+
+def test_running_median_and_mean(obs):
+    m = running_median(obs, "text_length", 10.0)
+    a = running_mean(obs, "text_length", 10.0)
+    assert m.where(F.col("smoothed").isNull()).count() == 0
+    assert a.where(F.col("smoothed").isNull()).count() == 0
+
+
+def test_running_median_exact_small(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 3,
+                "warc_ts": pd.to_datetime(["2023-01-01", "2023-01-02", "2023-01-03"]),
+                "v": [1.0, 100.0, 3.0],
+            }
+        )
+    )
+    out = running_median(df, "v", half_window_days=5.0).orderBy("warc_ts").collect()
+    assert [r.smoothed for r in out] == [3.0, 3.0, 3.0]
+
+
+def test_masks_and_retention(spark, obs):
+    masked = apply_mask(obs, "text_length", threshold_mask(F.col("text_length"), vmin=300))
+    assert masked.where(F.col("text_length") < 300).count() == 0
+    nod = remap_nodata(obs.withColumn("v", F.lit(0.0)), "v")
+    assert nod.where(F.col("v").isNotNull()).count() == 0
+    assert common_valid_keys(obs, "text_length").count() == obs.select("url").distinct().count()
+    t = tombstone(obs, F.col("lang") == "en")
+    assert live(t).where(F.col("lang") == "en").count() == 0
+    kept = retain_recent(obs, 180.0, "2023-12-31 00:00:00")
+    import datetime
+
+    assert kept.agg(F.min("warc_ts")).collect()[0][0] >= datetime.datetime(2023, 7, 1)

@@ -1,0 +1,116 @@
+"""Golden-value tests: Spark rollup/gap-fill vs a NumPy oracle — the
+reference's simulate-truth-recover pattern (tests/dem_error.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mintpy_spark.operators.gapfill import gapfill
+from mintpy_spark.operators.rollup import build_tiers, with_mean
+
+
+def numpy_rollup(pdf: pd.DataFrame, width_sec: int) -> pd.DataFrame:
+    """Single-process oracle: groupby (url, epoch-anchored bucket)."""
+    sec = pdf["warc_ts"].astype("int64") // 10**9
+    bucket = (sec - sec % width_sec) * 10**9
+    g = pdf.assign(bucket_start=pd.to_datetime(bucket)).groupby(
+        ["url", "bucket_start"], as_index=False
+    )["text_length"]
+    out = g.agg(["count", "sum", "min", "max"])
+    out.columns = ["url", "bucket_start", "cnt", "vsum", "vmin", "vmax"]
+    return out.sort_values(["url", "bucket_start"]).reset_index(drop=True)
+
+
+def test_tiers_match_numpy_oracle(obs):
+    pdf = obs.select("url", "warc_ts", "text_length").toPandas()
+    tiers = build_tiers(obs, "text_length")
+    for tier, width in [("1h", 3600), ("1d", 86400), ("30d", 30 * 86400)]:
+        got = (
+            tiers[tier]
+            .toPandas()
+            .sort_values(["url", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        want = numpy_rollup(pdf, width)
+        pd.testing.assert_frame_equal(
+            got.astype({"cnt": "int64", "vsum": "int64"}),
+            want.astype({"cnt": "int64", "vsum": "int64"}),
+            check_dtype=False,
+        )
+
+
+def test_tier_consistency_exact(obs):
+    """30d partials must equal a direct 30d aggregation of raw obs —
+    integer metric, so equality is exact (SURVEY.md §7.3)."""
+    from mintpy_spark.operators.rollup import rollup_from_obs
+
+    tiers = build_tiers(obs, "text_length")
+    direct = rollup_from_obs(obs, "text_length", "30d")
+    diff = (
+        tiers["30d"]
+        .alias("a")
+        .join(direct.alias("b"), ["url", "bucket_start"], "full")
+        .where(
+            (F.col("a.cnt") != F.col("b.cnt"))
+            | (F.col("a.vsum") != F.col("b.vsum"))
+            | (F.col("a.vmin") != F.col("b.vmin"))
+            | (F.col("a.vmax") != F.col("b.vmax"))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_gapfill_linear_matches_numpy(obs):
+    got = (
+        gapfill(obs, "text_length", tier="1d", mode="linear")
+        .toPandas()
+        .sort_values(["url", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pdf = obs.select("url", "warc_ts", "text_length").toPandas()
+    rows = []
+    for url, g in pdf.groupby("url"):
+        g = g.sort_values("warc_ts")
+        # last obs per day
+        day = g["warc_ts"].dt.floor("D")
+        picked = g.groupby(day).tail(1)
+        days = pd.date_range(picked["warc_ts"].dt.floor("D").min(),
+                             picked["warc_ts"].dt.floor("D").max(), freq="D")
+        t_obs = picked["warc_ts"].astype("int64").to_numpy() / 1e9
+        v_obs = picked["text_length"].to_numpy(dtype=float)
+        t_grid = days.astype("int64").to_numpy() / 1e9
+        interp = np.interp(t_grid, t_obs, v_obs)  # flat extrapolation at edges
+        by_day = {d: v for d, v in zip(picked["warc_ts"].dt.floor("D"), v_obs)}
+        for d, v in zip(days, interp):
+            if d in by_day:
+                rows.append((url, d, float(by_day[d]), False))
+            else:
+                rows.append((url, d, float(v), True))
+    want = pd.DataFrame(rows, columns=["url", "bucket_start", "value", "filled"]) \
+        .sort_values(["url", "bucket_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9)
+    assert (got["filled"].to_numpy() == want["filled"].to_numpy()).all()
+
+
+def test_gapfill_lastobs_steps(obs):
+    """Forward-fill semantics: on filled rows value equals the previous
+    observed day's value."""
+    gf = gapfill(obs, "text_length", tier="1d", mode="last_obs")
+    pdf = gf.orderBy("url", "bucket_start").toPandas()
+    for url, g in pdf.groupby("url"):
+        vals = g["value"].to_numpy()
+        filled = g["filled"].to_numpy()
+        prev = None
+        for v, f in zip(vals, filled):
+            if f:
+                assert v == prev
+            prev = v
+
+
+def test_mean_derived_from_partials(obs):
+    t = with_mean(build_tiers(obs, "text_length")["1d"])
+    bad = t.where(F.abs(F.col("vmean") * F.col("cnt") - F.col("vsum")) > 1e-6)
+    assert bad.count() == 0

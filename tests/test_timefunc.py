@@ -1,0 +1,101 @@
+"""Truth-recovery tests for the time-function regression — the engine's
+timeseries2velocity analog, mirroring the reference's simulate-then-recover
+unit tests (tests/dem_error.py:56-80)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mintpy_spark.datagen import gen_truth
+from mintpy_spark.operators.timefunc import (
+    design_matrix,
+    fit_time_func,
+    linear_velocity,
+    param_names,
+)
+
+
+def test_velocity_within_4_sigma(spark, obs):
+    truth = gen_truth(spark, num_urls=80).select(
+        "url", F.col("velocity").alias("true_vel"), "step"
+    )
+    fit = fit_time_func(obs, "text_length", {"polynomial": 1, "periodic": [1.0]})
+    j = (
+        fit.select("url", "velocity", "velocity_std")
+        .join(truth, "url")
+        .where(F.col("step") == 0.0)  # model family matches truth exactly
+        .toPandas()
+    )
+    assert len(j) > 10
+    resid = np.abs(j["velocity"] - j["true_vel"])
+    assert (resid <= 4.0 * j["velocity_std"] + 1e-9).all()
+
+
+def test_step_recovery(spark, obs):
+    """Fitting with the true step date recovers the step amplitude."""
+    truth = gen_truth(spark, num_urls=80).toPandas()
+    stepped = truth[truth["step"] != 0.0]
+    assert len(stepped) > 3
+    # fit each stepped url with its own true onset (grouped by onset value)
+    for _, row in stepped.head(5).iterrows():
+        one = obs.where(F.col("url") == row["url"])
+        fit = fit_time_func(
+            one,
+            "text_length",
+            {"polynomial": 1, "periodic": [1.0], "step": [row["step_year"]]},
+        ).toPandas()
+        est = fit["step0"].iloc[0]
+        std = fit["step0_std"].iloc[0]
+        assert abs(est - row["step"]) <= max(4.0 * std, 2.0)
+
+
+def test_closed_form_equals_lstsq(spark, obs):
+    lv = linear_velocity(obs, "text_length")
+    f1 = fit_time_func(obs, "text_length", {"polynomial": 1}).select(
+        "url", F.col("velocity").alias("v2")
+    )
+    d = (
+        lv.join(f1, "url")
+        .agg(F.max(F.abs(F.col("velocity") - F.col("v2"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert d < 1e-4
+
+
+def test_design_matrix_shapes_and_names():
+    model = {
+        "polynomial": 2,
+        "periodic": [1.0, 0.5],
+        "step": [2023.5],
+        "exp": {2023.4: [60.0]},
+        "log": {2023.3: [80.0, 160.0]},
+    }
+    names = param_names(model)
+    dy = np.linspace(2023.0, 2024.0, 50)
+    G = design_matrix(dy, model, ref_year=2023.0)
+    assert G.shape == (50, len(names))
+    assert G.dtype == np.float32
+    # poly col 0 is ones; step col is 0 before onset and 1 after
+    assert np.allclose(G[:, 0], 1.0)
+    step_col = names.index("step0")
+    assert G[0, step_col] == 0.0 and G[-1, step_col] == 1.0
+    # quadratic column is t^2/2 (Taylor scaling, time_func.py:293-312)
+    acc = names.index("acceleration")
+    assert np.allclose(G[:, acc], ((dy - 2023.0) ** 2) / 2.0, atol=1e-6)
+
+
+def test_insufficient_obs_yields_nulls(spark):
+    import pandas as pd
+
+    one = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"],
+                "warc_ts": [pd.Timestamp("2023-01-01")],
+                "text_length": [100],
+            }
+        )
+    )
+    out = fit_time_func(one, "text_length", {"polynomial": 1}).collect()[0]
+    assert out["velocity"] is None and out["num_obs"] == 1
