@@ -1,0 +1,134 @@
+"""Benchmark harness.
+
+1. Headline driver-contract queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query wall
+   seconds.
+2. North-rule scaling evidence: the 3-tier rollup cascade over a
+   pre-materialized synthetic pages table, run at local[N] and local[4N]
+   (sandbox stand-in for N vs 4N executors; BASELINE.md). Reports
+   rolled-up points/sec at both and efficiency = thr(4N) / (4 * thr(N)).
+
+Prints ONE JSON line. Env knobs:
+  SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+  BENCH_SCALING=0 to skip the scaling section,
+  BENCH_URLS (default 8000) pages-table size for the scaling run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SMALL = max(CPUS // 4, 1)
+
+HEADLINE = [
+    "rollup_1h",
+    "rollup_1d_cascade",
+    "rollup_30d_cascade",
+    "gapfill_linear_1d",
+    "velocity_linear",
+    "spatial_avg_1d",
+    "pair_deltas_lag1",
+]
+
+
+def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
+    from mintpy_spark.session import get_spark
+
+    sp = get_spark(
+        app_name=f"bench_{n_cores}",
+        master=f"local[{n_cores}]",
+        shuffle_partitions=shuffle_partitions or max(n_cores * 2, 8),
+    )
+    sp.sparkContext.setLogLevel("ERROR")
+    return sp
+
+
+def bench_queries() -> dict[str, float]:
+    import __spark_entry__ as E
+
+    spark = _fresh_spark(CPUS)
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, SF_DIR)
+        df.count()  # warm: plan + IO caches
+        t0 = time.time()
+        df.count()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return out
+
+
+def _rollup_job(spark, pages_path: str) -> tuple[int, float]:
+    """The measured unit: obs derivation + full 3-tier cascade, forced."""
+    from mintpy_spark.operators.observe import pages_to_obs
+    from mintpy_spark.operators.rollup import build_tiers
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    obs = pages_to_obs(pages)
+    tiers = build_tiers(obs, "text_length")
+    n_points = obs.count()
+    for t in tiers.values():
+        t.count()
+    return n_points, time.time() - t0
+
+
+def bench_scaling() -> dict:
+    from mintpy_spark.datagen import gen_pages
+
+    num_urls = int(os.environ.get("BENCH_URLS", "8000"))
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    path = os.path.join(tmp, "pages.parquet")
+    sp = _fresh_spark(CPUS)
+    gen_pages(sp, num_urls=num_urls, partitions=CPUS * 2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    sp.stop()
+
+    result = {}
+    for label, cores in [("n", N_SMALL), ("4n", CPUS)]:
+        sp = _fresh_spark(cores)
+        _rollup_job(sp, path)  # warm JIT/IO
+        points, secs = _rollup_job(sp, path)
+        sp.stop()
+        result[f"points_{label}"] = points
+        result[f"sec_{label}"] = round(secs, 3)
+        result[f"throughput_{label}"] = round(points / secs, 1)
+    result["cores_n"] = N_SMALL
+    result["cores_4n"] = CPUS
+    result["scaling_efficiency"] = round(
+        result["throughput_4n"] / (4.0 * result["throughput_n"]), 3
+    )
+    return result
+
+
+def main() -> None:
+    queries = bench_queries()
+    payload = {
+        "metric": "rolled-up points/sec through 3-tier rollup (scaling: local[N] vs local[4N])",
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        payload["scaling"] = bench_scaling()
+        payload["value"] = payload["scaling"]["throughput_4n"]
+        payload["value_unit"] = "points_per_sec"
+    else:
+        payload["value"] = round(sum(queries.values()), 3)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

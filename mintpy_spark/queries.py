@@ -371,9 +371,15 @@ def velocity_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_ext() -> None:
+    import mintpy_spark.queries_ext  # noqa: F401  (registers extended queries)
+
+
 def queries() -> dict[str, QueryFn]:
+    _ensure_ext()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_ext()
     return dict(_ORACLES)
