@@ -125,11 +125,20 @@ def _text_for(url_id: int, ts_sec: int, length: int) -> str:
     return (pat * reps)[:length]
 
 
-def _html_for(url_id: int, ts_sec: int) -> bytes:
-    """Deterministic bytes incl. non-UTF8 sequences (byte-identity coverage)."""
+def _html_for(url_id: int, ts_sec: int, text: str) -> bytes:
+    """Deterministic page bytes: the extracted text is embedded verbatim
+    between <body>...</body>, surrounded by non-UTF8 byte sequences outside
+    the body (byte-identity coverage: operators.extract.extract_text must
+    recover ``text`` byte-for-byte from these bytes)."""
     h = (url_id * 1000003 + ts_sec) & 0xFFFFFFFFFFFFFFFF
     core = h.to_bytes(8, "little")
-    return b"<html>\xff\xfe" + core * 4 + b"\x80\x81</html>"
+    return (
+        b"<html>\xff\xfe<head>"
+        + core * 4
+        + b"</head><body>"
+        + text.encode("utf-8")
+        + b"</body>\x80\x81</html>"
+    )
 
 
 def _gen_partition(
@@ -154,10 +163,11 @@ def _gen_partition(
             )
             length = np.maximum(np.round(length), 1).astype("int64")
             for t, ln in zip(ts_sec.tolist(), length.tolist()):
+                text = _text_for(url_id, t, int(ln))
                 rows["url"].append(url)
                 rows["warc_ts"].append(pd.Timestamp(t, unit="s"))
-                rows["html"].append(_html_for(url_id, t))
-                rows["text"].append(_text_for(url_id, t, int(ln)))
+                rows["html"].append(_html_for(url_id, t, text))
+                rows["text"].append(text)
                 rows["lang"].append(lang)
         yield pd.DataFrame(rows)
 

@@ -19,11 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pages_to_obs(pages: DataFrame) -> DataFrame:
+def pages_to_obs(pages: DataFrame, text_col: str = "text") -> DataFrame:
     return pages.select(
         "url",
         "warc_ts",
-        F.octet_length("text").alias("text_length"),
-        F.sha1(F.encode("text", "UTF-8")).alias("text_sha"),
+        F.octet_length(text_col).alias("text_length"),
+        F.sha1(F.encode(text_col, "UTF-8")).alias("text_sha"),
         "lang",
     )
+
+
+def pages_to_obs_extracted(pages: DataFrame) -> DataFrame:
+    """Full stage 1: recover text from the raw html payload
+    (operators.extract, byte-identity invariant) and derive obs from the
+    *extracted* text — the production path when the crawl store carries
+    only payload bytes."""
+    from mintpy_spark.operators.extract import extract_text
+
+    return pages_to_obs(extract_text(pages), text_col="extracted_text")

@@ -96,7 +96,7 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """pages -> obs -> 1h/1d/30d tiers + compressed blocks + velocity."""
     from mintpy_spark.codecs.blocks import pack_blocks
-    from mintpy_spark.operators.observe import pages_to_obs
+    from mintpy_spark.operators.observe import pages_to_obs, pages_to_obs_extracted
     from mintpy_spark.operators.rollup import cascade, rollup_from_obs
     from mintpy_spark.operators.timefunc import linear_velocity
 
@@ -104,10 +104,11 @@ def run_pipeline(
     ckpt = CheckpointTable(f"{root}/_checkpoint")
     out: dict[str, DataFrame] = {}
 
+    derive = pages_to_obs_extracted if "html" in pages.columns else pages_to_obs
     fp = config_fp
     out["obs"] = run_stage(
         spark, store, ckpt, run_id, "obs", fp,
-        lambda: with_part_id(pages_to_obs(pages), buckets=buckets), buckets,
+        lambda: with_part_id(derive(pages), buckets=buckets), buckets,
     )
     obs = out["obs"]
     # part_id is a pure function of the key (hash bucket), so each tier
