@@ -39,13 +39,27 @@ HEADLINE = [
 ]
 
 
-def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
+def _fresh_spark(n_cores: int, shuffle_partitions: int = 128):
+    """Session for benching. Config is IDENTICAL at every core count
+    (shuffle partitions fixed, same heap) so the N-vs-4N comparison varies
+    parallelism only. Shuffle dirs go to /dev/shm when present — the
+    sandbox stand-in for the NVMe shuffle volumes a real executor has —
+    to keep one virtio disk from serializing all shuffle writes."""
+    import os as _os
+
     from mintpy_spark.session import get_spark
 
+    _os.environ.setdefault("MINTPY_SPARK_DRIVER_MEM", "48g")
+    extra = {}
+    if _os.path.isdir("/dev/shm"):
+        d = "/dev/shm/mintpy-spark-local"
+        _os.makedirs(d, exist_ok=True)
+        extra["spark.local.dir"] = d
     sp = get_spark(
         app_name=f"bench_{n_cores}",
         master=f"local[{n_cores}]",
-        shuffle_partitions=shuffle_partitions or max(n_cores * 2, 8),
+        shuffle_partitions=shuffle_partitions,
+        extra_conf=extra,
     )
     sp.sparkContext.setLogLevel("ERROR")
     return sp
@@ -70,41 +84,61 @@ def bench_queries() -> dict[str, float]:
 
 
 def _rollup_job(spark, pages_path: str) -> tuple[int, float]:
-    """The measured unit: obs derivation + full 3-tier cascade, forced."""
-    from mintpy_spark.operators.observe import pages_to_obs
-    from mintpy_spark.operators.rollup import build_tiers
+    """The measured unit — the full production ingest as ONE job:
+
+        scan pages parquet -> extract_text (JVM expressions, byte-identity
+        path) -> obs projection -> repartition(hash(url)) -> 1h -> 1d -> 30d
+
+    The explicit repartition on the narrow projection is the engine's one
+    shuffle: hash-partitioning on url satisfies the clustering requirement
+    of every tier's groupBy(url, bucket), so the whole 3-tier cascade runs
+    exchange-free after it (verify: .explain shows exactly one Exchange).
+    The single terminal action (sum of 30d counts == ingested points)
+    forces every stage exactly once.
+    """
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.observe import pages_to_obs_extracted
+    from mintpy_spark.operators.rollup import cascade, rollup_from_obs
 
     pages = spark.read.parquet(pages_path)
     t0 = time.time()
-    obs = pages_to_obs(pages)
-    tiers = build_tiers(obs, "text_length")
-    n_points = obs.count()
-    for t in tiers.values():
-        t.count()
+    obs = (
+        pages_to_obs_extracted(pages)
+        .select("url", "warc_ts", "text_length")
+        .repartition(128, F.col("url"))
+    )
+    t30 = cascade(cascade(rollup_from_obs(obs, "text_length", "1h"), "1d"), "30d")
+    n_points = int(t30.agg(F.sum("cnt")).first()[0])
     return n_points, time.time() - t0
 
 
 def bench_scaling() -> dict:
-    from mintpy_spark.datagen import gen_pages
+    from mintpy_spark.datagen import gen_pages_bulk
 
-    num_urls = int(os.environ.get("BENCH_URLS", "8000"))
+    num_urls = int(os.environ.get("BENCH_URLS", "200000"))
+    obs_per_url = int(os.environ.get("BENCH_OBS", "100"))
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
     path = os.path.join(tmp, "pages.parquet")
     sp = _fresh_spark(CPUS)
-    gen_pages(sp, num_urls=num_urls, partitions=CPUS * 2).write.mode(
-        "overwrite"
-    ).parquet(path)
+    gen_pages_bulk(
+        sp, num_urls=num_urls, obs_per_url=obs_per_url, partitions=CPUS * 2
+    ).write.mode("overwrite").parquet(path)
     sp.stop()
 
     result = {}
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     for label, cores in [("n", N_SMALL), ("4n", CPUS)]:
         sp = _fresh_spark(cores)
         _rollup_job(sp, path)  # warm JIT/IO
-        points, secs = _rollup_job(sp, path)
+        best = None
+        for _ in range(reps):
+            points, secs = _rollup_job(sp, path)
+            best = secs if best is None else min(best, secs)
         sp.stop()
         result[f"points_{label}"] = points
-        result[f"sec_{label}"] = round(secs, 3)
-        result[f"throughput_{label}"] = round(points / secs, 1)
+        result[f"sec_{label}"] = round(best, 3)
+        result[f"throughput_{label}"] = round(points / best, 1)
     result["cores_n"] = N_SMALL
     result["cores_4n"] = CPUS
     result["scaling_efficiency"] = round(

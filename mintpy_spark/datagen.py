@@ -187,6 +187,83 @@ def gen_pages(
     )
 
 
+def gen_pages_bulk(
+    spark: SparkSession,
+    num_urls: int,
+    obs_per_url: int = 50,
+    num_domains: int = 40,
+    seed: int = SEED,
+    partitions: int | None = None,
+) -> DataFrame:
+    """JVM-only bulk pages generator for throughput benchmarking.
+
+    Same schema and embedded-text invariant as ``gen_pages`` but built
+    entirely from Catalyst expressions (xxhash64-driven pseudo-randomness,
+    ``repeat``/``substring`` text synthesis, ISO-8859-1 byte-exact html
+    assembly) so it emits tens of millions of rows at JVM scan speed — no
+    Python in the loop. Fixed ``obs_per_url`` and no truth table: the
+    Philox-based ``gen_pages`` remains the correctness generator; this one
+    exists so the N-vs-4N scaling run measures the engine, not the
+    generator.
+
+    Determinism: every column is a pure function of (seed, row id), so any
+    partitioning produces identical rows.
+    """
+    from pyspark.sql import functions as F
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    n = num_urls * obs_per_url
+    df = spark.range(0, n, 1, parts)
+    url_id = (F.col("id") / obs_per_url).cast("long")
+    k = F.col("id") % obs_per_url
+    h = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
+    # Zipf-ish domain skew: floor(num_domains * (url_id/num_urls)^2)
+    # concentrates urls in low domains (skew driver), deterministic.
+    frac = url_id.cast("double") / F.lit(float(max(num_urls, 1)))
+    domain = F.least(
+        F.lit(num_domains - 1), F.floor(F.lit(num_domains) * frac * frac).cast("int")
+    )
+    url = F.concat(
+        F.lit("https://domain"),
+        F.lpad(domain.cast("string"), 3, "0"),
+        F.lit(".example.com/page/"),
+        F.lpad(url_id.cast("string"), 8, "0"),
+    )
+    # irregular-ish spacing: base stride of a year/obs_per_url plus jitter
+    span = 365 * 86400
+    stride = span // max(obs_per_url, 1)
+    ts_sec = (
+        F.lit(1672531200)  # 2023-01-01 UTC
+        + k * F.lit(stride)
+        + (h % F.lit(max(stride, 1)))
+    )
+    warc_ts = F.timestamp_seconds(ts_sec)
+    tlen = (F.lit(200) + (h % F.lit(1800))).cast("int")
+    pat = F.concat(F.lit("u"), url_id.cast("string"), F.lit("t"),
+                   ts_sec.cast("string"), F.lit(":"))
+    text = F.substring(F.repeat(pat, 120), 1, tlen)
+    html = F.encode(
+        F.concat(
+            F.lit("<html>ÿþ<head>"),
+            F.lpad(h.cast("string"), 20, "0"),
+            F.lit("</head><body>"),
+            text,
+            F.lit("</body></html>"),
+        ),
+        "ISO-8859-1",
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS.tolist()]), (url_id % 5 + 1).cast("int")
+    )
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
 def gen_truth(spark: SparkSession, num_urls: int = 200, num_domains: int = 40,
               seed: int = SEED) -> DataFrame:
     """Per-url ground-truth time-function parameters (test oracle input)."""

@@ -1,0 +1,70 @@
+"""As-of (temporal nearest-prior) join.
+
+Reference analog: GNSS-vs-InSAR comparison joins an irregular GNSS series
+to SAR acquisition dates by most-recent-observation
+(reference: src/mintpy/objects/insar_vs_gnss.py, ~300 LoC driver around a
+per-site temporal alignment). The generic operator: for every left row
+(key, ts), attach the latest right row (key, ts_r <= ts).
+
+Implementation is the union-sort-window strategy, not a join:
+
+    union(left-as-probe, right-as-obs)
+      -> window last(value, ignorenulls) over (key ORDER BY ts, is_probe)
+      -> keep probes
+
+One shuffle on ``key`` total, no range-join explosion, no per-key loop —
+this is the shape that survives 100 TB (a sort-merge range join would
+re-shuffle both sides *and* risk unbounded range-match fan-out; the window
+scan is linear per key). Ties (obs at exactly the probe ts) sort before the
+probe, so probe@t sees obs@t — ASOF '<=' semantics, matching DuckDB's
+ASOF JOIN which the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str] | None = None,
+    right_ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """Attach to each ``left`` row the latest ``right`` row with
+    ``right.ts <= left.ts`` (per key). NULLs where no prior row exists.
+
+    ``value_cols`` defaults to every right column except key/ts. If the
+    right side has several rows at one (key, ts), the window keeps the last
+    in (ts, tag) order within that timestamp — deduplicate upstream if that
+    ambiguity matters (the oracle data is unique per (key, ts)).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+
+    probes = left.select(
+        key, ts, F.lit(1).alias("_is_probe"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("_r_ts"),
+    )
+    obs = right.select(
+        key, ts, F.lit(0).alias("_is_probe"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(ts).alias("_r_ts"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = obs.unionByName(probes).select(
+        key, ts, "_is_probe",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_f_ts"),
+    )
+    out_cols = [key, ts] + [F.col(f"_f_{c}").alias(c) for c in value_cols]
+    out_cols.append(F.col("_f_ts").alias(right_ts_alias))
+    return filled.where(F.col("_is_probe") == 1).select(*out_cols)

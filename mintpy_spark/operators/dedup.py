@@ -1,0 +1,306 @@
+"""Near-duplicate detection: MinHash + LSH, SimHash, embedding-cosine.
+
+Training-data-pipeline operators over the documents/embeddings tables.
+Everything is expressed with built-in JVM-side column functions (explode +
+hash-arithmetic + groupBy + self-join on bucket keys) — no Python UDFs —
+so Catalyst plans partial+final aggregation and AQE handles bucket skew.
+
+Scale notes (100 TB):
+* Candidate generation is always a *block join* on a bounded key (LSH band
+  bucket / SimHash block / label), never a global cross join; the band
+  self-join shuffles only (band_id, band_key) groups and AQE splits hot
+  buckets.
+* Signatures are ~num_perm longs per doc — 10^12 docs x 16 longs is a
+  shuffle-light dimension table compared to the corpus itself.
+* The token hash is an md5-derived 60-bit integer, chosen because it is
+  reproducible in any engine (the DuckDB oracles replicate it bit-for-bit,
+  which is how the driver verifies these operators end-to-end).
+
+Reference parity: the reference has no dedup operators; these extend the
+engine per the build brief (dedup/similarity as first-class components).
+The *pattern* mirrors the reference's pair-network construction
+(objects/stack.py:688 ifgramStack: observations keyed by pairs) — candidate
+pairs here, date pairs there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Cross-engine-exact hash constants (inlined into the DuckDB oracles too).
+HASH_P = 1_000_000_007
+NUM_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # NUM_PERM / LSH_BANDS
+SIMHASH_BITS = 16
+
+
+def perm_coeffs(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation; a*h stays < 2^63 for h < P."""
+    return [(1 + i * 1000003, i * 7919) for i in range(num_perm)]
+
+
+def token_hash(tok: Column) -> Column:
+    """60-bit integer from the md5 hex digest — identical in Spark
+    (conv(substring(md5), 16, 10)) and DuckDB (('0x' || substring)::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text_col: str) -> Column:
+    """Distinct non-empty whitespace tokens (the unigram shingle set)."""
+    return F.array_distinct(F.filter(F.split(text_col, " "), lambda x: x != ""))
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """(id, m0..m{P-1}) — min over tokens of (a_i * (h % P) + b_i) % P."""
+    ex = docs.select(id_col, F.explode(tokens(text_col)).alias("tok")).withColumn(
+        "hm", token_hash(F.col("tok")) % HASH_P
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % HASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id",
+              bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """Signature -> long-format (id, band_id, band_key). Docs sharing any
+    band key are candidates (banding amplifies Jaccard sensitivity)."""
+    pairs = []
+    for b in range(bands):
+        cols = ", ".join(f"m{b * rows + r}" for r in range(rows))
+        pairs.append(f"{b}, concat_ws('-', {cols})")
+    stack_expr = f"stack({bands}, {', '.join(pairs)}) as (band_id, band_key)"
+    return sig.select(id_col, F.expr(stack_expr))
+
+
+def minhash_near_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.5, num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): LSH candidates, then signature-estimated
+    Jaccard = matching-permutation fraction, filtered at ``threshold``."""
+    sig = minhash_signatures(docs, id_col, text_col, num_perm)
+    bands = lsh_bands(sig, id_col)
+    a, b = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("doc_a"), F.col(f"bb.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    matches = sum(
+        F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col(f"a_{id_col}"))
+        .join(sb, cand.doc_b == F.col(f"b_{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / float(num_perm)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash): per-bit +/-1 vote over the token-hash bits, bit set
+    when the vote sum is positive."""
+    ex = docs.select(id_col, F.explode(tokens(text_col)).alias("tok")).withColumn(
+        "hv", token_hash(F.col("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_bit = ex.groupBy(id_col).agg(*votes)
+    value = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)
+    )
+    return per_bit.select(id_col, value.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    block_col: str = "source", max_hamming: int = 3, bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): same-block pairs within Hamming distance.
+    ``block_col`` bounds the join (at scale: simhash prefix bands)."""
+    s = simhash(docs, id_col, text_col, bits)
+    d = docs.select(id_col, block_col).join(s, id_col)
+    a, b = d.alias("da"), d.alias("db")
+    ham = F.bit_count(
+        F.col("da.simhash").bitwiseXOR(F.col("db.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"da.{block_col}") == F.col(f"db.{block_col}"))
+            & (F.col(f"da.{id_col}") < F.col(f"db.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"da.{id_col}").alias("doc_a"),
+            F.col(f"db.{id_col}").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+def _dot(x: Column, y: Column) -> Column:
+    """Sequential-fold double dot product (same evaluation order as the
+    DuckDB oracle's list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str = "label", threshold: float = 0.4,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): same-block pairs above a cosine threshold.
+    The block join is the scale pattern (at 100 TB the block key is an LSH
+    bucket — see similarity.hyperplane_bucket — never a cross join)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = emb.select(id_col, block_col, v.alias("v"))
+    a, b = d.alias("ea"), d.alias("eb")
+    cos = _dot(F.col("ea.v"), F.col("eb.v")) / (
+        F.sqrt(_dot(F.col("ea.v"), F.col("ea.v")))
+        * F.sqrt(_dot(F.col("eb.v"), F.col("eb.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"ea.{block_col}") == F.col(f"eb.{block_col}"))
+            & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
+        )
+        .where(cos > threshold)
+        .select(
+            F.col(f"ea.{id_col}").alias("vec_a"),
+            F.col(f"eb.{id_col}").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders — same constants, same hash, same shapes.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+    toks AS (
+      SELECT {id}, unnest(list_distinct(list_filter(string_split({text}, ' '),
+                                                    x -> x <> ''))) AS tok
+      FROM {table}
+    )
+"""
+
+
+def minhash_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.5, num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> str:
+    mins = ",\n             ".join(
+        f"MIN(({a} * hm + {b}) % {HASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_id, concat_ws('-', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    return f"""
+    WITH {_TOKS_CTE.format(id=id_col, text=text_col, table=table)},
+    h AS (
+      SELECT {id_col},
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT % {HASH_P} AS hm
+      FROM toks
+    ),
+    sig AS (
+      SELECT {id_col},
+             {mins}
+      FROM h GROUP BY {id_col}
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.{id_col} < b.{id_col}
+    )
+    SELECT c.doc_a, c.doc_b,
+           ({match_sum}) / {float(num_perm)} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.{id_col}
+    JOIN sig sb ON c.doc_b = sb.{id_col}
+    WHERE ({match_sum}) / {float(num_perm)} >= {threshold}
+    """
+
+
+def simhash_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    value = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH {_TOKS_CTE.format(id=id_col, text=text_col, table=table)},
+    h AS (
+      SELECT {id_col}, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
+      FROM toks
+    ),
+    per_bit AS (
+      SELECT {id_col},
+             {votes}
+      FROM h GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST({value} AS BIGINT) AS simhash FROM per_bit
+    """
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    block_col: str = "source", max_hamming: int = 3, bits: int = SIMHASH_BITS,
+) -> str:
+    base = simhash_oracle_sql(table, id_col, text_col, bits)
+    return f"""
+    WITH s AS ({base}),
+    d AS (SELECT t.{id_col}, t.{block_col}, s.simhash
+          FROM {table} t JOIN s ON t.{id_col} = s.{id_col})
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM d a JOIN d b
+      ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -21,10 +21,12 @@ from pyspark.sql import functions as F
 
 
 def _range_window(key: str, ts: str, half_window_days: float) -> Window:
-    half = int(half_window_days * 86400)
+    # microsecond-precision frame bounds: casting to whole seconds would
+    # shift membership of observations landing within 1s of the boundary
+    half = int(half_window_days * 86400) * 1_000_000
     return (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).cast("timestamp").cast("long"))
+        .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
         .rangeBetween(-half, half)
     )
 

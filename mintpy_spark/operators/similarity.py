@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns: exact cosine top-k (baseline)
+and hyperplane-LSH bucketed ANN (the scale path).
+
+The LSH family is random +/-1 projections (sign of <v, r_j> for planes
+r_j in {-1,+1}^d — Charikar's SimHash for vectors). The plane matrix is a
+deterministic function of (seed, plane, dim) via md5 parity, computed
+driver-side and inlined as literals, so the DuckDB oracle uses the *same*
+planes and the bucket assignment is engine-exact. Projections are computed
+over floor(1000 * x) integers so the sign never depends on float summation
+order.
+
+Scale notes (100 TB): the bucketed variant turns brute-force O(N) per query
+into a partition-pruned scan of one bucket (expected N / 2^planes); buckets
+are a group-by key, so the index build is one shuffle and queries are a
+broadcast-joined probe. The exact variant stays as the verification oracle
+(same role as the reference's serial solve vs Dask path,
+ifgram_inversion.py:803-853 two-path strategy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_PLANES = 8
+SCALE = 1000  # fixed-point factor: floor(SCALE * x) before projecting
+
+
+def plane_signs(dim: int, num_planes: int = NUM_PLANES, seed: int = 12138) -> list[list[int]]:
+    """Deterministic {-1,+1}^dim planes from md5 parity of (seed, j, i)."""
+    planes = []
+    for j in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:15], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def _fixed(vec_col: Column) -> Column:
+    """float array -> exact BIGINT fixed-point array (floor(1000x))."""
+    return F.transform(vec_col, lambda x: F.floor(x.cast("double") * SCALE).cast("long"))
+
+
+def _idot(x: Column, signs: list[int]) -> Column:
+    """Exact integer projection <x, signs> (sum of 64 bounded longs)."""
+    s = F.array([F.lit(v) for v in signs])
+    return F.aggregate(
+        F.zip_with(x, s, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def hyperplane_bucket(
+    vec_col: Column, dim: int, num_planes: int = NUM_PLANES, seed: int = 12138
+) -> Column:
+    """LSH bucket id in [0, 2^num_planes): bit j set iff <v, r_j> > 0."""
+    fx = _fixed(vec_col)
+    planes = plane_signs(dim, num_planes, seed)
+    bucket = None
+    for j, row in enumerate(planes):
+        bit = F.when(_idot(fx, row) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def with_bucket(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
+    num_planes: int = NUM_PLANES, seed: int = 12138,
+) -> DataFrame:
+    return emb.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), dim, num_planes, seed)
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    """Double cosine, sequential-fold evaluation order (oracle-matching)."""
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda u, v: u * v), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def ann_topk_lsh(
+    emb: DataFrame, query_id: int, k: int = 10, vec_col: str = "embedding",
+    id_col: str = "vec_id", dim: int = 64, num_planes: int = NUM_PLANES,
+    seed: int = 12138,
+) -> DataFrame:
+    """Top-k cosine among vectors sharing the query's LSH bucket.
+
+    The bucket filter is the ANN speedup: candidates ~ N / 2^planes. The
+    query row (single row) is broadcast; ordering is on the 4-dp-rounded
+    similarity with id tie-break so results are engine-deterministic.
+    """
+    b = with_bucket(emb, vec_col, dim, num_planes, seed)
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.broadcast(
+        b.where(F.col(id_col) == query_id).select(
+            dv.alias("qv"), F.col("bucket").alias("qbucket")
+        )
+    )
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        b.crossJoin(q)
+        .where((F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != query_id))
+        .select(
+            id_col,
+            "bucket",
+            F.round(cosine(emb_d, F.col("qv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same planes, same fixed-point projection)
+# ---------------------------------------------------------------------------
+
+def _sql_list(values: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in values) + "]"
+
+
+def bucket_oracle_expr(
+    vec_expr: str, dim: int, num_planes: int = NUM_PLANES, seed: int = 12138
+) -> str:
+    """SQL expression computing the same bucket id over ``vec_expr``
+    (a FLOAT[] column): fixed-point + literal plane lists."""
+    fx = f"list_transform({vec_expr}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+    bits = []
+    for j, row in enumerate(plane_signs(dim, num_planes, seed)):
+        bits.append(
+            f"CASE WHEN list_dot_product({fx}, {_sql_list(row)}) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+def ann_topk_oracle_sql(
+    table: str = "embeddings", query_id: int = 0, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,
+    num_planes: int = NUM_PLANES, seed: int = 12138,
+) -> str:
+    bexpr = bucket_oracle_expr(vec_col, dim, num_planes, seed)
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS v, {bexpr} AS bucket FROM {table}
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE {id_col} = {query_id})
+    SELECT b.{id_col}, b.bucket,
+           ROUND(list_dot_product(b.v, q.qv)
+                 / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 4) AS cos_sim
+    FROM b, q
+    WHERE b.bucket = q.qbucket AND b.{id_col} <> {query_id}
+    ORDER BY cos_sim DESC, b.{id_col} ASC
+    LIMIT {k}
+    """

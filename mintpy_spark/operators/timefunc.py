@@ -126,7 +126,7 @@ def fit_time_func(
     """
     model = model or {"polynomial": 1}
     names = param_names(model)
-    fields = [T.StructField(key, T.StringType())]
+    fields = [T.StructField(key, obs.schema[key].dataType)]
     fields += [T.StructField(n, T.DoubleType()) for n in names]
     fields += [T.StructField(f"{n}_std", T.DoubleType()) for n in names]
     fields += [

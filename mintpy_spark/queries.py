@@ -372,7 +372,9 @@ def velocity_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_ext() -> None:
+    import mintpy_spark.queries_dedup  # noqa: F401  (dedup/similarity queries)
     import mintpy_spark.queries_ext  # noqa: F401  (registers extended queries)
+    import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,202 @@
+"""Driver-contract queries: as-of join, retention/tombstoning, temporal
+filtering, cross-section referencing, median aggregates, set ops, and the
+full time-function regression.
+
+Same oracle discipline as mintpy_spark.queries (identical aliases, in-query
+rounding both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mintpy_spark.operators.asof import asof_join
+from mintpy_spark.queries import _q, load
+
+
+@_q(
+    "asof_click_before_purchase",
+    """
+    SELECT p.user_id, p.ts,
+           ROUND(c.value, 4) AS value,
+           c.ts              AS asof_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest prior click (same user) — the
+    insar_vs_gnss temporal-alignment pattern as a generic as-of join."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", value_cols=["value"])
+    return out.select("user_id", "ts", F.round("value", 4).alias("value"), "asof_ts")
+
+
+@_q(
+    "retention_window",
+    """
+    SELECT user_id, COUNT(*) AS live_events
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 90 DAY FROM events)
+    GROUP BY user_id
+    """,
+)
+def retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy: only observations in the trailing 90d window
+    survive (dropIfgram/exclude_date analog, stack.py:846-853). The global
+    horizon is a 1-row broadcast, not a window function — no shuffle of the
+    fact table beyond the final aggregation."""
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 90 DAYS")).alias("h")
+    )
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .where(F.col("ts") >= F.col("h"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("live_events"))
+    )
+
+
+@_q(
+    "tombstone_live",
+    """
+    SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_value
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def tombstone_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete semantics: tombstone 'error' events, aggregate the live
+    view (mask.tombstone/live; reference dropIfgram flag, stack.py:1370)."""
+    from mintpy_spark.operators.mask import live, tombstone
+
+    ev = load(spark, sf_dir, "events")
+    flagged = tombstone(ev, F.col("event_type") == "error")
+    return (
+        live(flagged)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@_q(
+    "temporal_filter_runmean",
+    """
+    SELECT user_id, ts,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND INTERVAL 3 DAY FOLLOWING
+           ), 2) AS wsum,
+           COUNT(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND INTERVAL 3 DAY FOLLOWING
+           ) AS wcnt
+    FROM events
+    """,
+)
+def temporal_filter_runmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-day moving window over the irregular series (temporal filter,
+    stack.py:505-541) — microsecond-precision range frame. Emits the
+    decomposable (sum, count) partials — mean = wsum/wcnt — because window
+    averages of 2-dp inputs land exactly on x.00005 boundaries where
+    engines' double-rounding conventions legitimately disagree; the 2-dp
+    sum is collision-free (see mintpy_spark.queries docstring)."""
+    from mintpy_spark.operators.filters import _range_window
+
+    ev = load(spark, sf_dir, "events")
+    w = _range_window("user_id", "ts", 3.0)
+    return ev.select(
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("wsum"),
+        F.count("value").over(w).alias("wcnt"),
+    )
+
+
+@_q(
+    "ref_cross_section",
+    """
+    SELECT user_id, ts,
+           ROUND(value - AVG(value) OVER (
+             PARTITION BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+           ), 4) AS anomaly
+    FROM events
+    """,
+)
+def ref_cross_section(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch cross-section demean: each observation minus the same-day
+    all-series mean (reference_point spatial referencing, reference_point.py:
+    28-167; also the deramp-order-0 analog, objects/ramp.py:24)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("day", "ts"))
+    return ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") - F.avg("value").over(w), 4).alias("anomaly"),
+    )
+
+
+@_q(
+    "epoch_median_1d",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           ROUND(median(value), 4) AS med, COUNT(value) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def epoch_median_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per epoch (ifgramStack.spatial_average median mode,
+    stack.py:871-919) — Spark's exact `percentile`, not approx."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("med"),
+            F.count("value").alias("cnt"),
+        )
+    )
+
+
+@_q(
+    "dates_except",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events GROUP BY 1, 2
+    EXCEPT
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    """,
+)
+def dates_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-list set algebra (exclude_date, ptime.py:406-446): active days
+    per user minus days with any error event."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    all_days = ev.select("user_id", day).distinct()
+    err_days = ev.where(F.col("event_type") == "error").select("user_id", day).distinct()
+    return all_days.exceptAll(err_days)
+
+
+@_q("velocity_timefunc_full")  # no SQL oracle: per-group lstsq (non-SQL op);
+def velocity_timefunc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full time-function regression (polynomial-1 + annual periodic) via
+    applyInPandas — timeseries2velocity.py:130-455 semantics. Verified by
+    the pytest truth-recovery suite (tests/test_timefunc.py); the driver
+    records the weaker rows-only check for this one."""
+    from mintpy_spark.operators.timefunc import fit_time_func
+
+    ev = load(spark, sf_dir, "events")
+    out = fit_time_func(
+        ev, "value", model={"polynomial": 1, "periodic": [1.0]},
+        key="user_id", ts="ts", ref_year=2024.0,
+    )
+    cols = [c for c in out.columns if c != "user_id"]
+    # param names contain dots (periodic1.0_cos) -> backtick-quote
+    return out.select(
+        "user_id", *[F.round(F.col(f"`{c}`"), 4).alias(c) for c in cols]
+    ).orderBy("user_id")

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # crawl payloads contain invalid byte sequences; decode() must
+        # replace (U+FFFD), not raise (Spark 4 default errors under ANSI)
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("MINTPY_SPARK_DRIVER_MEM", "8g"))
         # BLAS pinning inside pandas UDF workers (reference: cluster.py:87-129)

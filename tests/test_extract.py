@@ -45,3 +45,33 @@ def test_extract_drops_html_column(spark):
     pages = gen_pages(spark, num_urls=5)
     got = extract_text(pages)
     assert "html" not in got.columns and "extracted_text" in got.columns
+
+
+def test_jvm_and_arrow_extractors_agree(spark):
+    from mintpy_spark.operators.extract import extract_text_arrow
+
+    pages = gen_pages(spark, num_urls=40)
+    jvm = extract_text(pages).select("url", "warc_ts", "extracted_text")
+    arrow = extract_text_arrow(pages).select(
+        "url", "warc_ts", F.col("extracted_text").alias("arrow_text")
+    )
+    j = jvm.join(arrow, ["url", "warc_ts"])
+    assert j.count() > 0
+    assert j.where(F.col("extracted_text") != F.col("arrow_text")).count() == 0
+
+
+def test_jvm_extractor_malformed_and_unicode(spark):
+    rows = [
+        (1, b"<html><body>plain ascii</body></html>"),
+        (2, b"<html>\xff\xfe<body>" + "ünïcode ✓".encode() + b"</body>\x80</html>"),
+        (3, b"no markers"),
+        (4, b"</body><body>"),  # close before open
+        (5, b"<body>a</body>mid</body>"),  # last close wins
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {r.id: r.extracted_text for r in extract_text(df).collect()}
+    assert got[1] == "plain ascii"
+    assert got[2] == "ünïcode ✓"
+    assert got[3] is None
+    assert got[4] is None
+    assert got[5] == "a</body>mid"
