@@ -11,7 +11,8 @@
 Prints ONE JSON line. Env knobs:
   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
   BENCH_SCALING=0 to skip the scaling section,
-  BENCH_URLS (default 8000) pages-table size for the scaling run.
+  BENCH_URLS (default 200000) x BENCH_OBS (default 150) scaling-input
+  size, BENCH_REPS (default 3) repetitions per level (best kept).
 """
 
 from __future__ import annotations
@@ -117,7 +118,7 @@ def bench_scaling() -> dict:
     from mintpy_spark.datagen import gen_pages_bulk
 
     num_urls = int(os.environ.get("BENCH_URLS", "200000"))
-    obs_per_url = int(os.environ.get("BENCH_OBS", "100"))
+    obs_per_url = int(os.environ.get("BENCH_OBS", "150"))
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
     path = os.path.join(tmp, "pages.parquet")
     sp = _fresh_spark(CPUS)
@@ -127,7 +128,7 @@ def bench_scaling() -> dict:
     sp.stop()
 
     result = {}
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     for label, cores in [("n", N_SMALL), ("4n", CPUS)]:
         sp = _fresh_spark(cores)
         _rollup_job(sp, path)  # warm JIT/IO
@@ -144,6 +145,9 @@ def bench_scaling() -> dict:
     result["scaling_efficiency"] = round(
         result["throughput_4n"] / (4.0 * result["throughput_n"]), 3
     )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return result
 
 

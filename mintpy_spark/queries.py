@@ -374,6 +374,7 @@ def velocity_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_ext() -> None:
     import mintpy_spark.queries_dedup  # noqa: F401  (dedup/similarity queries)
     import mintpy_spark.queries_ext  # noqa: F401  (registers extended queries)
+    import mintpy_spark.queries_ops  # noqa: F401  (diff/add/mask/decimate queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 

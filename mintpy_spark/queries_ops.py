@@ -1,0 +1,184 @@
+"""Driver-contract queries: join-based series algebra, masks, decimation.
+
+Covers the remaining SURVEY.md §2 operator families with oracle checks:
+diff joins (§2.3), NaN-union add (§2.3 add_file), ALL-aggregates /
+common-mask (§2.2), multilook nearest-decimation (§2.4), threshold masking
+(§2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mintpy_spark.queries import _q, load
+
+
+@_q(
+    "diff_series_vs_rollup",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(SUM(value), 2) AS dsum, COUNT(value) AS dcnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.user_id, e.ts,
+           ROUND(e.value * d.dcnt - d.dsum, 2) AS scaled_resid
+    FROM events e JOIN d
+      ON e.user_id = d.user_id AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) = d.day
+    """,
+)
+def diff_series_vs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based diff of a series against its own rollup tier
+    (diff_timeseries pattern, reference diff.py:58-149: equi-join on
+    (key, epoch) then subtract). Emitted as value*cnt - sum (exact 2-dp
+    arithmetic) rather than value - mean, which would divide and reopen
+    the half-way rounding trap."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("dsum"),
+            F.count("value").alias("dcnt"),
+        )
+    )
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .join(d, ["user_id", "day"])
+        .select(
+            "user_id",
+            "ts",
+            F.round(F.col("value") * F.col("dcnt") - F.col("dsum"), 2).alias(
+                "scaled_resid"
+            ),
+        )
+    )
+
+
+@_q(
+    "add_series_nan_union",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             SUM(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             SUM(value) AS v FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.day, b.day)         AS day,
+           ROUND(COALESCE(a.v, 0) + COALESCE(b.v, 0), 2) AS vsum,
+           (a.v IS NOT NULL)::INT + (b.v IS NOT NULL)::INT AS n_present
+    FROM a FULL JOIN b ON a.user_id = b.user_id AND a.day = b.day
+    """,
+)
+def add_series_nan_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-file add with NaN-union semantics (reference add.py:18-87: null
+    only where null in ALL inputs, else nulls count as 0) — full outer
+    join + coalesce over two derived daily series."""
+    ev = load(spark, sf_dir, "events")
+
+    def daily(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.sum("value").alias("v"))
+        )
+
+    a, b = daily("view").alias("a"), daily("click").alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.day") == F.col("b.day")),
+        "full",
+    )
+    present = F.col("a.v").isNotNull().cast("int") + F.col("b.v").isNotNull().cast("int")
+    return j.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("a.day"), F.col("b.day")).alias("day"),
+        F.round(
+            F.coalesce(F.col("a.v"), F.lit(0.0)) + F.coalesce(F.col("b.v"), F.lit(0.0)),
+            2,
+        ).alias("vsum"),
+        present.alias("n_present"),
+    )
+
+
+@_q(
+    "common_valid_keys",
+    """
+    SELECT user_id,
+           COUNT(DISTINCT date_trunc('month', ts)) AS months_active
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(DISTINCT date_trunc('month', ts)) =
+           (SELECT COUNT(DISTINCT date_trunc('month', ts)) FROM events)
+    """,
+)
+def common_valid_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: keys observed in EVERY epoch — the nonzero/
+    common-mask ALL-aggregate (reference stack.py:972 nonzero_mask,
+    ifgram_inversion.py:743 valid-in-all-pairs). The total-epoch count is
+    a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    month = F.date_trunc("month", "ts")
+    per_key = ev.groupBy("user_id").agg(
+        F.countDistinct(month).alias("months_active")
+    )
+    total = ev.agg(F.countDistinct(month).alias("_total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .where(F.col("months_active") == F.col("_total"))
+        .select("user_id", "months_active")
+    )
+
+
+@_q(
+    "multilook_decimate",
+    """
+    SELECT user_id, ts, ROUND(value, 2) AS value
+    FROM (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ) WHERE rn % 5 = 1
+    """,
+)
+def multilook_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-sample multilook / decimation (reference multilook.py:19-130
+    'nearest' mode; readfile.py x/y-step decimated scan): keep every 5th
+    observation per key in time order."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % 5 == 1)
+        .select("user_id", "ts", F.round("value", 2).alias("value"))
+    )
+
+
+@_q(
+    "mask_threshold_stats",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN value BETWEEN 10 AND 90 THEN 1 END) AS n_valid,
+           COUNT(*) AS n_total,
+           ROUND(SUM(CASE WHEN value BETWEEN 10 AND 90 THEN value END), 2) AS vsum
+    FROM events GROUP BY user_id
+    """,
+)
+def mask_threshold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold mask -> NULL fill -> aggregate (reference mask.py:17
+    mask_matrix + generate_mask.py:44 threshold mask): min/max window
+    masking as a column expression, nulls skipped by the aggregates."""
+    from mintpy_spark.operators.mask import apply_mask, threshold_mask
+
+    ev = load(spark, sf_dir, "events")
+    masked = apply_mask(
+        ev, "value", threshold_mask(F.col("value"), vmin=10.0, vmax=90.0)
+    )
+    return masked.groupBy("user_id").agg(
+        F.count("value").alias("n_valid"),
+        F.count("*").alias("n_total"),
+        F.round(F.sum("value"), 2).alias("vsum"),
+    )
