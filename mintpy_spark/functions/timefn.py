@@ -65,7 +65,9 @@ def bucket_start(ts: Column, tier: str) -> Column:
     if tier == "1d":
         return F.date_trunc("day", ts)
     if tier == "30d":
-        sec = ts.cast("long")
+        # cast via TIMESTAMP: TIMESTAMP_NTZ (parquet isAdjustedToUTC=false)
+        # cannot cast to numeric directly
+        sec = ts.cast("timestamp").cast("long")
         width = TIER_SECONDS["30d"]
         return F.timestamp_seconds((sec - (sec % width)).cast("long"))
     raise ValueError(f"unknown tier {tier!r}; expected one of {sorted(TIER_SECONDS)}")

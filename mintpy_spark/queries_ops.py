@@ -158,6 +158,74 @@ def multilook_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "codec_roundtrip",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*)             AS n_points,
+           ROUND(SUM(value), 2) AS vsum,
+           MIN(ts) AS ts_min, MAX(ts) AS ts_max
+    FROM events GROUP BY 1
+    """,
+)
+def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-XOR + delta-of-delta codec proven lossless under the driver
+    gate: pack each user's series into compressed per-(key, 30d) blocks,
+    unpack, and aggregate — counts, exact 2-dp sums, and min/max
+    timestamps must equal the direct aggregation of the raw table
+    (reference analog: HDF5 chunked+compressed storage round-trip,
+    stack.py:352-355)."""
+    from mintpy_spark.codecs.blocks import pack_blocks, unpack_blocks
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+    )
+    blocks = pack_blocks(
+        ev, "value", window="30d", key="user_id", ts="ts", value_dtype="float64"
+    )
+    back = unpack_blocks(blocks)
+    return back.groupBy(F.col("key")).agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("value"), 2).alias("vsum"),
+        F.min("warc_ts").alias("ts_min"),
+        F.max("warc_ts").alias("ts_max"),
+    )
+
+
+@_q(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type,
+           COUNT(value)         AS cnt,
+           ROUND(SUM(value), 2) AS vsum,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation over 5 hot keys (north_rule
+    salting): partials per (key, salt-shard), re-aggregated per key —
+    bitwise-identical to the plain aggregation because only decomposable
+    partials (count/sum/min/max) are salted."""
+    from mintpy_spark.operators.partitioning import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        "event_type",
+        {
+            "cnt": ("count", "value"),
+            "vsum": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "event_type", "cnt", F.round("vsum", 2).alias("vsum"), "vmin", "vmax"
+    )
+
+
+@_q(
     "mask_threshold_stats",
     """
     SELECT user_id,
