@@ -119,3 +119,33 @@ def temporal_derivative(
         )
         .where(F.col("deriv").isNotNull())
     )
+
+
+def closure_triplet(
+    obs: DataFrame, value_col: str, key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """Sequential-triplet closure over consecutive snapshots.
+
+    Reference analog: closure phase over sequential interferogram loops
+    (stack.py:1113-1230): for dates (t1,t2,t3), misclosure of the three
+    pairwise differences. For linear values d12+d23-d13 vanishes
+    identically, so the engine reports the triangle slack
+    |d12| + |d23| - |d13| >= 0 — a burstiness/monotonicity indicator (0
+    iff the series moved monotonically across the triplet). One window
+    scan, no join (the reference builds an explicit triplet design
+    matrix; lead() over the per-key sort is the Spark-native form).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    v = F.col(value_col)
+    v2, v3 = F.lead(value_col, 1).over(w), F.lead(value_col, 2).over(w)
+    t2, t3 = F.lead(ts, 1).over(w), F.lead(ts, 2).over(w)
+    return (
+        obs.select(
+            key,
+            F.col(ts).alias("ts1"),
+            t2.alias("ts2"),
+            t3.alias("ts3"),
+            (F.abs(v2 - v) + F.abs(v3 - v2) - F.abs(v3 - v)).alias("closure"),
+        )
+        .where(F.col("ts3").isNotNull())
+    )

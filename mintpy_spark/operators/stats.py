@@ -13,7 +13,7 @@ All pure Catalyst aggregates: partial+final hash agg, one shuffle each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,3 +70,52 @@ def mad_outlier_epochs(
     )
     thresh = med + cutoff * 1.4826 * (mad or 0.0)
     return epoch_rms.where(F.col("rms") > thresh).select(time_col, "rms")
+
+
+def deramp_epoch(
+    obs: DataFrame,
+    value_col: str,
+    coord_col: str,
+    time_col: str = "warc_ts",
+) -> DataFrame:
+    """Per-epoch linear detrend against a 1-D coordinate.
+
+    Reference analog: deramp — per-epoch polynomial surface fit in (y, x)
+    subtracted from the image (objects/ramp.py:24-127, order 'linear').
+    Here the epoch's cross-section is regressed on ``coord_col`` via the
+    closed-form OLS (covar_pop/var_pop window aggregates — no solver, no
+    Python) and the fitted ramp is subtracted row-wise. Zero-variance
+    epochs (single point) fall back to mean-centering.
+    """
+    w = Window.partitionBy(time_col)
+    x = F.col(coord_col).cast("double")
+    v = F.col(value_col).cast("double")
+    slope_raw = F.covar_pop(x, v).over(w) / F.nullif(F.var_pop(x).over(w), F.lit(0.0))
+    slope = F.coalesce(slope_raw, F.lit(0.0))
+    fitted = F.avg(v).over(w) + slope * (x - F.avg(x).over(w))
+    return obs.withColumn("deramped", v - fitted)
+
+
+def temporal_coherence(
+    obs: DataFrame, resid_col: str, key: str = "url"
+) -> DataFrame:
+    """|sum(exp(i * resid))| / n per key — the reference's inversion
+    quality metric (ifgram_inversion.py:291-363 calc_inv_quality), as two
+    trig aggregates (the complex sum's re/im parts); coherence 1.0 means
+    all residuals agree in phase."""
+    r = F.col(resid_col).cast("double")
+    return (
+        obs.groupBy(key)
+        .agg(
+            F.sum(F.cos(r)).alias("_re"),
+            F.sum(F.sin(r)).alias("_im"),
+            F.count(resid_col).alias("n"),
+        )
+        .select(
+            key,
+            (F.sqrt(F.col("_re") ** 2 + F.col("_im") ** 2) / F.col("n")).alias(
+                "coherence"
+            ),
+            "n",
+        )
+    )

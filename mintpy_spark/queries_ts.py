@@ -182,6 +182,98 @@ def dates_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_days.exceptAll(err_days)
 
 
+@_q(
+    "closure_triplet",
+    """
+    SELECT user_id, ts1, ts2, ts3, ROUND(closure, 2) AS closure
+    FROM (
+      SELECT user_id, ts AS ts1,
+             lead(ts, 1)  OVER w AS ts2,
+             lead(ts, 2)  OVER w AS ts3,
+             abs(lead(value, 1) OVER w - value)
+           + abs(lead(value, 2) OVER w - lead(value, 1) OVER w)
+           - abs(lead(value, 2) OVER w - value) AS closure
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ) WHERE ts3 IS NOT NULL
+    """,
+)
+def closure_triplet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-triplet closure (closure-phase analog, stack.py:
+    1113-1230): triangle slack of consecutive pairwise deltas."""
+    from mintpy_spark.operators.diff import closure_triplet
+
+    ev = load(spark, sf_dir, "events")
+    out = closure_triplet(ev, "value", key="user_id", ts="ts")
+    return out.select(
+        "user_id", "ts1", "ts2", "ts3", F.round("closure", 2).alias("closure")
+    )
+
+
+@_q(
+    "deramp_daily",
+    """
+    SELECT user_id, ts,
+           ROUND(CAST(value AS DOUBLE)
+                 - (vbar + slope * (CAST(user_id AS DOUBLE) - xbar)), 3)
+             AS deramped
+    FROM (
+      SELECT user_id, ts, value,
+             AVG(CAST(value AS DOUBLE))   OVER w AS vbar,
+             AVG(CAST(user_id AS DOUBLE)) OVER w AS xbar,
+             COALESCE(covar_pop(CAST(user_id AS DOUBLE), CAST(value AS DOUBLE)) OVER w
+                      / nullif(var_pop(CAST(user_id AS DOUBLE)) OVER w, 0.0),
+                      0.0) AS slope
+      FROM events
+      WINDOW w AS (PARTITION BY CAST(date_trunc('day', ts) AS TIMESTAMP))
+    )
+    """,
+)
+def deramp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch linear detrend (deramp analog, objects/ramp.py:24-127):
+    each day's cross-section regressed on the key coordinate, fitted ramp
+    subtracted. Closed-form OLS as window aggregates — no solver."""
+    from mintpy_spark.operators.stats import deramp_epoch
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    out = deramp_epoch(ev, "value", coord_col="user_id", time_col="day")
+    return out.select("user_id", "ts", F.round("deramped", 3).alias("deramped"))
+
+
+@_q(
+    "temporal_coherence",
+    """
+    SELECT user_id,
+           ROUND(sqrt(POW(SUM(cos(value)), 2) + POW(SUM(sin(value)), 2))
+                 / COUNT(value), 4) AS coherence,
+           COUNT(value) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def temporal_coherence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inversion-quality temporal coherence |sum(exp(i*v))|/n
+    (ifgram_inversion.py:291-363) as two trig aggregates."""
+    from mintpy_spark.operators.stats import temporal_coherence
+
+    ev = load(spark, sf_dir, "events")
+    out = temporal_coherence(ev, "value", key="user_id")
+    return out.select("user_id", F.round("coherence", 4).alias("coherence"), "n")
+
+
+@_q("gaussian_smooth")  # no SQL oracle: cross-row exp-weighted kernel (the
+# weight depends on both rows' timestamps — not a SQL window aggregate);
+# verified by tests/test_operators.py against the NumPy oracle instead.
+def gaussian_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian-weighted temporal smoothing (stack.py:505-520)."""
+    from mintpy_spark.operators.filters import gaussian_filter
+
+    ev = load(spark, sf_dir, "events")
+    out = gaussian_filter(ev, "value", sigma_days=3.0, key="user_id", ts="ts")
+    return out.select("user_id", "ts", F.round("smoothed", 4).alias("smoothed"))
+
+
 @_q("velocity_timefunc_full")  # no SQL oracle: per-group lstsq (non-SQL op);
 def velocity_timefunc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full time-function regression (polynomial-1 + annual periodic) via
