@@ -149,3 +149,34 @@ def closure_triplet(
         )
         .where(F.col("ts3").isNotNull())
     )
+
+
+def stitch_series(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Union two overlapping tiles after overlap-offset harmonization.
+
+    Reference analog: image_stitch.py:100 ``stitch_two_matrices`` — the
+    mean difference over the overlap is added to the second tile, then the
+    tiles merge (first tile wins on overlap). The offset is a 1-row
+    aggregate broadcast into the adjustment (no second shuffle of b); the
+    merge is unionByName + left-anti on the overlap keys.
+    """
+    av, bv = F.col(f"_a_{value_col}"), F.col(f"_b_{value_col}")
+    aa = a.select(key, ts, F.col(value_col).alias(f"_a_{value_col}"))
+    bb = b.select(key, ts, F.col(value_col).alias(f"_b_{value_col}"))
+    offset = (
+        aa.join(bb, [key, ts])
+        .agg(F.coalesce(F.avg(av - bv), F.lit(0.0)).alias("_offset"))
+    )
+    b_adj = (
+        b.crossJoin(F.broadcast(offset))
+        .withColumn(value_col, F.col(value_col) + F.col("_offset"))
+        .drop("_offset")
+        .join(a.select(key, ts), [key, ts], "left_anti")
+    )
+    return a.unionByName(b_adj)

@@ -158,6 +158,62 @@ def multilook_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stitch_overlap_offset",
+    """
+    WITH a AS (SELECT user_id, ts, value FROM events WHERE user_id < 100),
+    b AS (SELECT user_id, ts, value + 5.0 AS value FROM events WHERE user_id >= 50),
+    off AS (
+      SELECT COALESCE(AVG(a.value - b.value), 0.0) AS o
+      FROM a JOIN b ON a.user_id = b.user_id AND a.ts = b.ts
+    )
+    SELECT user_id, ts, ROUND(value, 2) AS value FROM a
+    UNION ALL
+    SELECT b.user_id, b.ts, ROUND(b.value + off.o, 2) AS value
+    FROM b, off
+    WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.user_id = b.user_id AND a.ts = b.ts)
+    """,
+)
+def stitch_overlap_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile stitching with overlap-offset harmonization (image_stitch.py:
+    100): tile b carries a synthetic +5 bias; the overlap (users 50-99)
+    estimates it and the stitched output recovers the unbiased values —
+    self-verifying against the plain table."""
+    from mintpy_spark.operators.diff import stitch_series
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    a = ev.where(F.col("user_id") < 100)
+    b = ev.where(F.col("user_id") >= 50).withColumn(
+        "value", F.col("value") + F.lit(5.0)
+    )
+    out = stitch_series(a, b, key="user_id", ts="ts", value_col="value")
+    return out.select("user_id", "ts", F.round("value", 2).alias("value"))
+
+
+@_q(
+    "auto_reference_epoch",
+    """
+    SELECT arg_min(bucket_start, rms) AS ref_epoch, COUNT(*) AS n_epochs
+    FROM (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+             sqrt(AVG(value * value)) AS rms
+      FROM events GROUP BY 1
+    )
+    """,
+)
+def auto_reference_epoch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic reference-epoch selection: argmin of per-epoch RMS
+    (timeseries_rms.py:35-72) via min_by — no sort, no collect."""
+    ev = load(spark, sf_dir, "events")
+    rms = ev.groupBy(F.date_trunc("day", "ts").alias("bucket_start")).agg(
+        F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms")
+    )
+    return rms.agg(
+        F.min_by("bucket_start", "rms").alias("ref_epoch"),
+        F.count("*").alias("n_epochs"),
+    )
+
+
+@_q(
     "codec_roundtrip",
     """
     SELECT CAST(user_id AS VARCHAR) AS key,
