@@ -46,8 +46,11 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import SparkSession
 
     from mintpy_spark.plans.pipeline import run_pipeline
+    from mintpy_spark.session import apply_engine_conf
 
-    spark = SparkSession.builder.appName("mintpy_spark_rollup").getOrCreate()
+    spark = apply_engine_conf(
+        SparkSession.builder.appName("mintpy_spark_rollup").getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.time()

@@ -24,6 +24,26 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("MINTPY_SPARK_SHUFFLE_PARTITIONS", "32"))
 
 
+RUNTIME_SQL_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # crawl payloads contain invalid byte sequences; decode() must replace
+    "spark.sql.legacy.codingErrorAction": "true",
+}
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable SQL confs to an existing
+    session — the path for ``spark-submit`` jobs, where the session is
+    built by the submitted master/conf rather than by get_spark()."""
+    for k, v in RUNTIME_SQL_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(
     app_name: str = "mintpy_spark",
     master: str | None = None,
