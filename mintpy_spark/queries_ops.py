@@ -306,3 +306,28 @@ def mask_threshold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.round(F.sum("value"), 2).alias("vsum"),
     )
+
+
+@_q(
+    "sessionize_7d",
+    """
+    SELECT user_id, session_start, session_end, duration_us, n_events,
+           ROUND(vsum, 2) AS vsum
+    FROM (
+    """
+    + __import__("mintpy_spark.operators.sessionize", fromlist=["x"])
+    .sessionize_oracle_sql(gap_seconds=7 * 86400)
+    + ")",
+)
+def sessionize_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native session_window aggregation, gap =
+    7 days): per-(key, session) start/end/duration/count/sum; the oracle
+    is the portable lag/cumsum formulation — identical boundaries."""
+    from mintpy_spark.operators.sessionize import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    out = sessionize(ev, key="user_id", ts="ts", value_col="value", gap="7 days")
+    return out.select(
+        "user_id", "session_start", "session_end", "duration_us", "n_events",
+        F.round("vsum", 2).alias("vsum"),
+    )
