@@ -117,12 +117,26 @@ def fit_time_func(
     key: str = "url",
     ts: str = "warc_ts",
     ref_year: float | None = None,
+    weight_col: str | None = None,
+    uncertainty: str = "residue",
+    bootstrap_count: int = 400,
+    seed: int = 12138,
 ) -> DataFrame:
-    """Grouped OLS fit: one row per key with fitted params, stds, residue.
+    """Grouped LS fit: one row per key with fitted params, stds, residue.
 
     Output: (key, <param>..., <param>_std..., residue, num_obs).
     NaN/insufficient-rank groups yield NULL params (mirrors the reference
     writing no-data for masked-out pixels).
+
+    ``weight_col``: WLS — both sides of G m = d scaled by sqrt(weight)
+    per observation, exactly the reference's weighted inversion
+    (ifgram_inversion.py:180-183 multiplies by ``weight_sqrt``).
+
+    ``uncertainty``: 'residue' (default, timeseries2velocity.py:404-415)
+    or 'bootstrap' (:304-339 — ``bootstrap_count`` resamples with
+    replacement, std of the resampled parameter estimates; the reference
+    defaults to 400). Bootstrap RNG is counter-seeded per key so results
+    are partition-order independent.
     """
     model = model or {"polynomial": 1}
     names = param_names(model)
@@ -141,6 +155,9 @@ def fit_time_func(
         v = pdf[value_col].to_numpy(dtype=np.float32)
         ok = ~np.isnan(v)
         v, tvals = v[ok], pdf[ts].to_numpy()[ok]
+        wsqrt = None
+        if weight_col is not None:
+            wsqrt = np.sqrt(pdf[weight_col].to_numpy(dtype=np.float64)[ok])
         out: dict[str, Any] = {key: [pdf[key].iloc[0]]}
         n = int(v.size)
         if n < num_param:
@@ -153,12 +170,36 @@ def fit_time_func(
         dy = _decimal_year_np(pd.Series(tvals))
         ref = ref_year if ref_year is not None else float(dy[0])
         G = design_matrix(dy, model, ref)
-        m, e2, rank, _sv = np.linalg.lstsq(G.astype(np.float64), v.astype(np.float64), rcond=None)
+
+        def solve(Gm: np.ndarray, d: np.ndarray):
+            if wsqrt is not None:  # WLS: scale both sides (ifgram_inversion.py:180)
+                Gm = Gm.astype(np.float64) * wsqrt[: len(d), None]
+                d = d.astype(np.float64) * wsqrt[: len(d)]
+            return np.linalg.lstsq(Gm.astype(np.float64), d.astype(np.float64), rcond=None)
+
+        m, e2, rank, _sv = solve(G, v)
         if e2.size == 0:  # rank-deficient: recompute residual explicitly
             e2 = np.array([float(np.sum((v - G @ m.astype(np.float32)) ** 2))])
-        # residue-method std (timeseries2velocity.py:404-415)
-        if n > num_param and rank == num_param:
-            g_inv = np.linalg.inv(G.T.astype(np.float64) @ G.astype(np.float64))
+        if uncertainty == "bootstrap" and n > num_param:
+            # timeseries2velocity.py:304-339; counter-seeded per key
+            # (md5, not hash(): PYTHONHASHSEED salting would break
+            # run-to-run determinism across python workers)
+            import hashlib
+
+            kid = int(
+                hashlib.md5(str(pdf[key].iloc[0]).encode()).hexdigest()[:8], 16
+            )
+            rng = np.random.Generator(np.random.Philox(key=seed, counter=[kid, 0, 0, 0]))
+            boots = np.empty((bootstrap_count, num_param))
+            for b in range(bootstrap_count):
+                idx = rng.integers(0, n, size=n)
+                mb, _e, _r, _s = solve(G[idx], v[idx])
+                boots[b] = mb
+            m_std = boots.std(axis=0, ddof=1)
+        elif n > num_param and rank == num_param:
+            # residue-method std (timeseries2velocity.py:404-415)
+            Gw = G.astype(np.float64) if wsqrt is None else G.astype(np.float64) * wsqrt[:, None]
+            g_inv = np.linalg.inv(Gw.T @ Gw)
             m_var = float(e2[0]) / (n - num_param)
             m_std = np.sqrt(np.diag(g_inv) * m_var)
         else:
@@ -170,7 +211,8 @@ def fit_time_func(
         out["num_obs"] = [n]
         return pd.DataFrame(out)
 
-    return obs.select(key, ts, value_col).groupBy(key).applyInPandas(fit, schema)
+    cols = [key, ts, value_col] + ([weight_col] if weight_col else [])
+    return obs.select(*cols).groupBy(key).applyInPandas(fit, schema)
 
 
 def linear_velocity(
