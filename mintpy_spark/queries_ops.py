@@ -331,3 +331,29 @@ def sessionize_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end", "duration_us", "n_events",
         F.round("vsum", 2).alias("vsum"),
     )
+
+
+@_q(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+           MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling (absent in the reference — flat
+    HDF5 attrs only, SURVEY.md §2.8): JSON property extraction pushed
+    through get_json_object, aggregated per key. At scale the extraction
+    is a codegen'd projection — no UDF, no schema inference pass."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.count("*").alias("cnt"),
+    )
