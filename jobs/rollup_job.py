@@ -53,14 +53,19 @@ def main(argv: list[str] | None = None) -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    from mintpy_spark.sources.tables import input_fingerprint
+
     t0 = time.time()
     pages = spark.read.parquet(args.input)
+    # config x input-snapshot fingerprint: a grown/rewritten input dir
+    # invalidates completed partitions (run_or_skip semantics)
+    fp = f"{args.config_fp}:{input_fingerprint(args.input)}"
     out = run_pipeline(
         spark,
         pages,
         root=args.output,
         run_id=args.run_id,
-        config_fp=args.config_fp,
+        config_fp=fp,
         buckets=args.buckets,
         value_col=args.value_col,
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mintpy_spark.operators.asof import asof_join
-from mintpy_spark.queries import _q, load
+from mintpy_spark.queries import _DY_SQL, _q, load
 
 
 @_q(
@@ -292,3 +292,54 @@ def velocity_timefunc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.round(F.col(f"`{c}`"), 4).alias(c) for c in cols]
     ).orderBy("user_id")
+
+
+@_q(
+    "velocity_with_ci",
+    f"""
+    SELECT user_id,
+           ROUND(slope, 4) AS velocity,
+           ROUND(sqrt(((syy - slope * sxy) / (n - 2)) / sxx), 4) AS velocity_std,
+           ROUND(1.96 * sqrt(((syy - slope * sxy) / (n - 2)) / sxx), 4) AS ci95,
+           n AS num_obs
+    FROM (
+      SELECT user_id,
+             covar_pop(t, value) / var_pop(t)      AS slope,
+             var_pop(t)   * COUNT(*)               AS sxx,
+             covar_pop(t, value) * COUNT(*)        AS sxy,
+             var_pop(value) * COUNT(*)             AS syy,
+             COUNT(*)                              AS n
+      FROM (SELECT user_id, value, {_DY_SQL.format(t='ts')} - 2024.0 AS t FROM events)
+      GROUP BY user_id
+    ) WHERE n > 2
+    """,
+)
+def velocity_with_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear velocity with residue-method standard error and 95% CI band
+    as pure closed-form aggregates (tsview.py:550-610 point fit + CI;
+    timeseries2velocity.py:404-415 residue std) — the SQL-expressible twin
+    of fit_time_func's uncertainty, oracle-checked end-to-end."""
+    from mintpy_spark.functions.timefn import decimal_year
+
+    ev = load(spark, sf_dir, "events")
+    t = decimal_year(F.col("ts")) - F.lit(2024.0)
+    g = (
+        ev.select("user_id", t.alias("t"), F.col("value"))
+        .groupBy("user_id")
+        .agg(
+            (F.covar_pop("t", "value") / F.var_pop("t")).alias("slope"),
+            (F.var_pop("t") * F.count("*")).alias("sxx"),
+            (F.covar_pop("t", "value") * F.count("*")).alias("sxy"),
+            (F.var_pop("value") * F.count("*")).alias("syy"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("n") > 2)
+    )
+    std = F.sqrt(((F.col("syy") - F.col("slope") * F.col("sxy")) / (F.col("n") - 2)) / F.col("sxx"))
+    return g.select(
+        "user_id",
+        F.round("slope", 4).alias("velocity"),
+        F.round(std, 4).alias("velocity_std"),
+        F.round(F.lit(1.96) * std, 4).alias("ci95"),
+        F.col("n").alias("num_obs"),
+    )

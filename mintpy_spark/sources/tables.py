@@ -74,6 +74,27 @@ class TableStore:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
 
+def input_fingerprint(path: str) -> str:
+    """Snapshot fingerprint of a parquet directory: md5 over the sorted
+    (relative-path, size) listing of data files — the parquet-fallback
+    analog of an Iceberg snapshot id (SURVEY.md §1.3). Any added, removed,
+    or rewritten data file changes it; the checkpointed pipeline combines
+    it with the config fingerprint so grown/changed inputs invalidate
+    completed partitions exactly like the reference's mtime + config-attr
+    comparison (utils/utils1.py:691-746)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for dirpath, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, path)
+            h.update(f"{rel}:{os.path.getsize(full)};".encode())
+    return h.hexdigest()[:16]
+
+
 def with_part_id(df: DataFrame, key: str = "url", buckets: int = 32) -> DataFrame:
     """Stable key-hash bucketing column — the engine's explicit partitioning
     (salted-hash analog of the reference's split2boxes, stack.py:1073-1109).

@@ -92,3 +92,14 @@ def test_config_change_invalidates(spark, pages, tmp_path):
     n1 = ckpt.load().num_rows
     run_pipeline(spark, pages, root, buckets=4, config_fp="b")
     assert ckpt.load().num_rows == 2 * n1  # everything recomputed under new fp
+
+
+def test_input_fingerprint_changes_on_data_change(spark, tmp_path):
+    from mintpy_spark.sources.tables import input_fingerprint
+
+    p = str(tmp_path / "in")
+    spark.range(100).write.mode("overwrite").parquet(p)
+    fp1 = input_fingerprint(p)
+    assert fp1 == input_fingerprint(p)  # stable
+    spark.range(50).write.mode("append").parquet(p)
+    assert input_fingerprint(p) != fp1  # grown input -> new snapshot id
