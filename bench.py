@@ -37,6 +37,12 @@ HEADLINE = [
     "velocity_linear",
     "spatial_avg_1d",
     "pair_deltas_lag1",
+    # training-data pipeline operators over documents/embeddings
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "simsearch_ann_lsh",
+    "text_quality",
+    "sessionize_7d",
 ]
 
 
