@@ -335,3 +335,114 @@ def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20)
+
+
+@_q(
+    "olap_cube_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def olap_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / CUBE (absent in the reference, SURVEY §2.4; free in
+    Catalyst as an Expand + single aggregation — one shuffle for all four
+    grouping combinations)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "revenue",
+            "cnt",
+        )
+    )
+
+
+@_q(
+    "olap_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def olap_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: rank window over a broadcast dim join with a
+    deterministic tie-break (the grouped-top-k pattern AQE cannot
+    TakeOrdered away)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+@_q(
+    "olap_customers_without_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS cnt
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def olap_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) aggregated per segment."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "event_value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           COUNT(value) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per key (Spark `percentile` ==
+    DuckDB quantile_cont) — the distribution-profiling aggregate a
+    quality-scoring pipeline runs per source."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("value").alias("cnt"),
+    )
