@@ -6,12 +6,16 @@ Reference analogs (objects/stack.py:481-541 ``timeseries.filter``):
 * running median over a +-half-window (stack.py:522-528).
 
 Spark recast: range-frame windows over unix seconds — partition-local after
-one shuffle on the key; the Gaussian kernel is expressed with collect-free
-built-ins via a self-join-free trick: Spark lacks weighted avg over a range
-frame, so we compute it with two range-frame sums over transformed columns
-is impossible for data-dependent weights — instead the Gaussian path uses
-``collect_list`` over the range frame + ``aggregate()`` higher-order
-functions (still JVM-side, no Python).
+one shuffle on the key. Spark has no weighted average over a range frame,
+and the usual two-range-frame-sums rewrite cannot express data-dependent
+weights (each weight depends on BOTH rows' timestamps), so the Gaussian
+path materializes the frame via ``collect_list`` and folds it with
+``aggregate()`` higher-order functions — still JVM-side, no Python.
+
+Memory bound: the collect_list buffer is O(rows x window_width) — fine for
+sparse crawl-revisit series (the target workload); for dense
+high-frequency keys, pre-bucket to a coarser tier first (rollup) or use
+the running-mean filter, which needs no per-row frame materialization.
 """
 
 from __future__ import annotations

@@ -81,13 +81,19 @@ def decode_media(
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg; not available in sandbox"
                 )
-            metas = [_stub_meta(bytes(p)) for p in pdf[payload_col]]
+            # NULL payloads yield a null-metadata row instead of killing the
+            # task (one bad record cannot kill a scan — extract_text's rule)
+            metas = [
+                _stub_meta(bytes(p)) if p is not None
+                else ("unknown", None, None, None, None, None)
+                for p in pdf[payload_col]
+            ]
             out = pdf[passthrough].copy()
             cols = list(zip(*metas)) if metas else [[]] * 6
             for name, vals, dtype in zip(
                 ["media_type", "width", "height", "n_frames", "sample_rate", "duration_ms"],
                 cols,
-                ["object", "int32", "int32", "int32", "int32", "int64"],
+                ["object", "Int32", "Int32", "Int32", "Int32", "Int64"],
             ):
                 out[name] = pd.Series(vals, index=pdf.index, dtype=dtype)
             yield out
@@ -118,6 +124,9 @@ def extract_features(
                 raise NotImplementedError("real feature extraction not available")
             feats = []
             for p in pdf[payload_col]:
+                if p is None:  # null payload -> null feature row, not a crash
+                    feats.append(None)
+                    continue
                 d = hashlib.sha256(bytes(p)).digest()
                 v = np.frombuffer(d[: dim * 2], dtype=np.uint16).astype(np.float32)
                 v = v / np.linalg.norm(v)

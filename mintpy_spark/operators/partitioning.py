@@ -56,11 +56,18 @@ def salted_agg(
     """
     fns = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
     refn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
-    # salt-hash ONLY the referenced columns: hashing every df column would
-    # drag unused columns through the scan and defeat column pruning
+    # Salt-hash the FULL input row (same rule as salt_column): hashing only
+    # (key + aggregated columns) silently defeats the mitigation when the
+    # value column is low-cardinality — a hot key with few distinct values
+    # collapses into few shards. Callers who need scan-side column pruning
+    # should pre-project df to the columns they want hashed. Residual
+    # limitation (document, don't hide): rows that are EXACT full-row
+    # duplicates still land in one shard; that is benign here because
+    # map-side combine on (key, _salt) collapses identical rows into one
+    # partial before the shuffle, so duplicate mass never travels.
     needed = [key] + sorted({c for (_fn, c) in aggs.values()})
-    shard = F.pmod(F.xxhash64(*[F.col(c) for c in needed]), F.lit(salt)).cast("int")
-    partial = df.select(*needed).withColumn("_salt", shard).groupBy(key, "_salt").agg(
+    shard = salt_column(df, salt)
+    partial = df.withColumn("_salt", shard).select(*needed, "_salt").groupBy(key, "_salt").agg(
         *[fns[fn](c).alias(name) for name, (fn, c) in aggs.items()]
     )
     return partial.groupBy(key).agg(

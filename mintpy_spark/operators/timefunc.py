@@ -171,15 +171,20 @@ def fit_time_func(
         ref = ref_year if ref_year is not None else float(dy[0])
         G = design_matrix(dy, model, ref)
 
-        def solve(Gm: np.ndarray, d: np.ndarray):
-            if wsqrt is not None:  # WLS: scale both sides (ifgram_inversion.py:180)
-                Gm = Gm.astype(np.float64) * wsqrt[: len(d), None]
-                d = d.astype(np.float64) * wsqrt[: len(d)]
+        def solve(Gm: np.ndarray, d: np.ndarray, ws: np.ndarray | None):
+            if ws is not None:  # WLS: scale both sides (ifgram_inversion.py:180)
+                Gm = Gm.astype(np.float64) * ws[:, None]
+                d = d.astype(np.float64) * ws
             return np.linalg.lstsq(Gm.astype(np.float64), d.astype(np.float64), rcond=None)
 
-        m, e2, rank, _sv = solve(G, v)
-        if e2.size == 0:  # rank-deficient: recompute residual explicitly
-            e2 = np.array([float(np.sum((v - G @ m.astype(np.float32)) ** 2))])
+        m, e2, rank, _sv = solve(G, v, wsqrt)
+        if e2.size == 0:
+            # rank-deficient: recompute the residual explicitly, on the SAME
+            # system lstsq solved (weighted when wsqrt is set) in float64,
+            # so the reported residue basis matches the solved objective
+            Gd = G.astype(np.float64) if wsqrt is None else G.astype(np.float64) * wsqrt[:, None]
+            dd = v.astype(np.float64) if wsqrt is None else v.astype(np.float64) * wsqrt
+            e2 = np.array([float(np.sum((dd - Gd @ m) ** 2))])
         if uncertainty == "bootstrap" and n > num_param:
             # timeseries2velocity.py:304-339; counter-seeded per key
             # (md5, not hash(): PYTHONHASHSEED salting would break
@@ -193,7 +198,12 @@ def fit_time_func(
             boots = np.empty((bootstrap_count, num_param))
             for b in range(bootstrap_count):
                 idx = rng.integers(0, n, size=n)
-                mb, _e, _r, _s = solve(G[idx], v[idx])
+                # resample the weights with the SAME indices: each resampled
+                # observation must carry its own weight, not the weight of
+                # whatever row originally sat at its position
+                mb, _e, _r, _s = solve(
+                    G[idx], v[idx], wsqrt[idx] if wsqrt is not None else None
+                )
                 boots[b] = mb
             m_std = boots.std(axis=0, ddof=1)
         elif n > num_param and rank == num_param:

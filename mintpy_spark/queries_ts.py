@@ -288,10 +288,12 @@ def velocity_timefunc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id", ts="ts", ref_year=2024.0,
     )
     cols = [c for c in out.columns if c != "user_id"]
-    # param names contain dots (periodic1.0_cos) -> backtick-quote
+    # param names contain dots (periodic1.0_cos) -> backtick-quote.
+    # No terminal orderBy: the driver's check is order-insensitive and a
+    # global sort is a needless extra exchange at scale.
     return out.select(
         "user_id", *[F.round(F.col(f"`{c}`"), 4).alias(c) for c in cols]
-    ).orderBy("user_id")
+    )
 
 
 @_q(

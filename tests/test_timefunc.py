@@ -85,6 +85,47 @@ def test_design_matrix_shapes_and_names():
     assert np.allclose(G[:, acc], ((dy - 2023.0) ** 2) / 2.0, atol=1e-6)
 
 
+def test_wls_bootstrap_matches_numpy_replica(spark):
+    """WLS + bootstrap combined (the previously untested pairing): the
+    engine must resample weights with the SAME indices as the data. Verified
+    against an exact NumPy replica of the per-key Philox stream + weighted
+    lstsq."""
+    import hashlib
+
+    import pandas as pd
+
+    from mintpy_spark.operators.timefunc import _decimal_year_np
+
+    rng0 = np.random.default_rng(7)
+    n, reps = 40, 50
+    ts = pd.date_range("2023-01-01", periods=n, freq="9D")
+    dy = _decimal_year_np(pd.Series(ts))
+    v = (100 + 55.0 * (dy - dy[0]) + rng0.normal(0, 3.0, n)).astype(np.float32)
+    w = rng0.uniform(0.1, 5.0, n)
+    pdf = pd.DataFrame({"url": "u0", "warc_ts": ts, "text_length": v, "w": w})
+    out = (
+        fit_time_func(
+            spark.createDataFrame(pdf), "text_length", {"polynomial": 1},
+            weight_col="w", uncertainty="bootstrap", bootstrap_count=reps,
+        )
+        .toPandas().iloc[0]
+    )
+    # exact replica: same seed scheme, same resampling, weights at [idx]
+    G = design_matrix(dy, {"polynomial": 1}, float(dy[0]))
+    wsqrt = np.sqrt(w)
+    kid = int(hashlib.md5(b"u0").hexdigest()[:8], 16)
+    rng = np.random.Generator(np.random.Philox(key=12138, counter=[kid, 0, 0, 0]))
+    boots = np.empty((reps, 2))
+    for b in range(reps):
+        idx = rng.integers(0, n, size=n)
+        Gw = G[idx].astype(np.float64) * wsqrt[idx][:, None]
+        dw = v[idx].astype(np.float64) * wsqrt[idx]
+        boots[b] = np.linalg.lstsq(Gw, dw, rcond=None)[0]
+    expect = boots.std(axis=0, ddof=1)
+    assert abs(out["velocity_std"] - expect[1]) < 1e-8
+    assert abs(out["intercept_std"] - expect[0]) < 1e-8
+
+
 def test_insufficient_obs_yields_nulls(spark):
     import pandas as pd
 
