@@ -357,3 +357,58 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("k_max"),
         F.count("*").alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Joint two-geometry decomposition (asc_desc2horz_vert analog)
+# ---------------------------------------------------------------------------
+
+# Two observation geometries with fixed projection angles; the angles'
+# cos/sin are computed once here and inlined as THE SAME literals into the
+# Spark plan and the SQL oracle (literal constants beat cross-engine
+# function parity). Geometry A = interaction events, B = the rest.
+import math as _math
+
+from mintpy_spark.operators.decompose import decompose_oracle_sql, joint_decompose
+
+_THETA_A, _THETA_B = 0.6, 1.9  # radians; well-separated -> well-conditioned
+_CXA, _CYA = _math.cos(_THETA_A), _math.sin(_THETA_A)
+_CXB, _CYB = _math.cos(_THETA_B), _math.sin(_THETA_B)
+
+# ::DOUBLE on the literals: DuckDB otherwise types them DECIMAL and the
+# normal-equation products overflow DECIMAL's max scale.
+_DECOMP_SRC_SQL = f"""
+    SELECT user_id,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN {_CXA!r}::DOUBLE ELSE {_CXB!r}::DOUBLE END AS cx,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN {_CYA!r}::DOUBLE ELSE {_CYB!r}::DOUBLE END AS cy,
+           value AS d
+    FROM events
+"""
+
+
+@_q(
+    "joint_decompose_2geom",
+    decompose_oracle_sql(_DECOMP_SRC_SQL, key="user_id", x_name="horz", y_name="vert"),
+)
+def joint_decompose_2geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint LS decomposition of two observation geometries into two latent
+    components per key (reference asc_desc2horz_vert.py:106 per-pixel
+    pinv(G) @ dlos; here closed-form 2x2 normal equations as pure
+    aggregates — one shuffle, SQL-expressible, no Python)."""
+    ev = load(spark, sf_dir, "events")
+    is_a = F.col("event_type").isin("click", "view")
+    src = ev.select(
+        "user_id",
+        F.when(is_a, F.lit(_CXA)).otherwise(F.lit(_CXB)).alias("cx"),
+        F.when(is_a, F.lit(_CYA)).otherwise(F.lit(_CYB)).alias("cy"),
+        F.col("value").alias("d"),
+    )
+    out = joint_decompose(src, "d", "cx", "cy", key="user_id")
+    return out.select(
+        "user_id",
+        F.round("horz", 4).alias("horz"),
+        F.round("vert", 4).alias("vert"),
+        "num_obs",
+    )

@@ -6,6 +6,28 @@ from __future__ import annotations
 import inspect
 
 
+# Rows-only queries (no SQL oracle) must each carry a documented reason in
+# their docstring/registration comment; everything else needs an oracle.
+ROWS_ONLY_OK = {"velocity_timefunc_full", "gaussian_smooth", "velocity_dem_pattern"}
+
+
+def test_registry_matches_frozen_manifest():
+    """The registry is FROZEN per round: every registered query appears in
+    tests/registry_frozen.txt (updated in the same commit that adds a
+    query). Catches accidental late registration — the round-1 gap where 9
+    registered queries missed the driver's correctness snapshot."""
+    import os
+
+    import __spark_entry__ as E
+
+    manifest = os.path.join(os.path.dirname(__file__), "registry_frozen.txt")
+    frozen = {l.strip() for l in open(manifest) if l.strip()}
+    assert set(E.queries()) == frozen, (
+        "registry drifted from tests/registry_frozen.txt — update the "
+        "manifest in the SAME commit that adds/removes a query"
+    )
+
+
 def test_registry_shape():
     import __spark_entry__ as E
 
@@ -14,7 +36,7 @@ def test_registry_shape():
     assert set(os_) <= set(qs), "oracle without a query"
     # documented rows-only exceptions
     rows_only = set(qs) - set(os_)
-    assert rows_only <= {"velocity_timefunc_full", "gaussian_smooth"}
+    assert rows_only <= ROWS_ONLY_OK
     for name, fn in qs.items():
         params = list(inspect.signature(fn).parameters)
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
