@@ -189,6 +189,96 @@ def simhash_near_dups(
     )
 
 
+def simhash_bands(
+    sim: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id, simhash, band_id, band_val): contiguous bit-slices of the
+    simhash. Pigeonhole guarantee: a pair differing in <= bands-1 bits
+    cannot touch every band, so it shares at least one full band — banding
+    is an EXACT candidate generator for max_hamming < bands, not an
+    approximation."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    pairs = ", ".join(
+        f"{b}, shiftright(simhash, {b * width}) & {mask}" for b in range(bands)
+    )
+    return sim.select(
+        id_col, "simhash", F.expr(f"stack({bands}, {pairs}) as (band_id, band_val)")
+    )
+
+
+def simhash_near_dups_banded(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, bits: int = 32, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): GLOBAL near-dup pairs within Hamming
+    distance — the scale-safe replacement for the benign-blocking-column
+    variant (simhash_near_dups): candidates come from a self-join on
+    (band_id, band_val) buckets, never from an attribute block that can go
+    hot. Exact for ``max_hamming < bands`` (see simhash_bands). At 10^12
+    docs use bits=64, bands up to max_hamming+1: bucket population ~
+    N / 2^(bits/bands), and AQE splits any residual hot bucket."""
+    assert max_hamming < bands, "banding is exact only for max_hamming < bands"
+    s = simhash(docs, id_col, text_col, bits)
+    bt = simhash_bands(s, id_col, bits, bands)
+    a, b = bt.alias("ha"), bt.alias("hb")
+    ham = F.bit_count(F.col("ha.simhash").bitwiseXOR(F.col("hb.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("ha.band_id") == F.col("hb.band_id"))
+            & (F.col("ha.band_val") == F.col("hb.band_val"))
+            & (F.col(f"ha.{id_col}") < F.col(f"hb.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"ha.{id_col}").alias("doc_a"),
+            F.col(f"hb.{id_col}").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair sharing >1 band appears once per shared band
+    )
+
+
+def ngram_jaccard_lsh(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): EXACT token-set Jaccard, but only over
+    MinHash-LSH candidate pairs — the production near-dup shape: a bounded
+    band-bucket join generates candidates, the exact (expensive,
+    O(tokens) per pair) verification runs on candidates only. Replaces the
+    same-`source` block join whose hot block goes quadratic."""
+    sig = _persist_one(minhash_signatures(docs, id_col, text_col, num_perm))
+    bands = lsh_bands(sig, id_col)
+    a, b = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("doc_a"), F.col(f"bb.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    t = docs.select(id_col, tokens(text_col).alias("toks"))
+    ta = t.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(jac > threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 def _dot(x: Column, y: Column) -> Column:
     """Sequential-fold double dot product (same evaluation order as the
     DuckDB oracle's list_dot_product)."""
@@ -215,6 +305,48 @@ def embedding_near_dups(
         a.join(
             b,
             (F.col(f"ea.{block_col}") == F.col(f"eb.{block_col}"))
+            & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
+        )
+        .where(cos > threshold)
+        .select(
+            F.col(f"ea.{id_col}").alias("vec_a"),
+            F.col(f"eb.{id_col}").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )
+
+
+def embedding_near_dups_bucketed(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, num_planes: int = 8, threshold: float = 0.4,
+    seed: int = 12138,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): same-LSH-bucket pairs above a cosine
+    threshold — the scale path for embedding dedup. The block key is the
+    deterministic hyperplane bucket (similarity.hyperplane_bucket), not a
+    data attribute: bucket population ~ N / 2^num_planes regardless of how
+    any label/source skews, and widening num_planes shrinks it further.
+    Trade-off (documented, inherent to sign-LSH): a near-dup pair lands in
+    the same bucket with probability (1 - theta/pi)^num_planes, so recall
+    is tunable, not exact; the exact-within-block variant
+    (embedding_near_dups) remains the verification tier."""
+    from mintpy_spark.operators.similarity import hyperplane_bucket
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = emb.select(
+        id_col,
+        v.alias("v"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+    )
+    a, b = d.alias("ea"), d.alias("eb")
+    cos = _dot(F.col("ea.v"), F.col("eb.v")) / (
+        F.sqrt(_dot(F.col("ea.v"), F.col("ea.v")))
+        * F.sqrt(_dot(F.col("eb.v"), F.col("eb.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ea.bucket") == F.col("eb.bucket"))
             & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
         )
         .where(cos > threshold)
@@ -325,4 +457,100 @@ def simhash_pairs_oracle_sql(
     FROM d a JOIN d b
       ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def simhash_banded_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, bits: int = 32,
+) -> str:
+    """Global all-pairs Hamming filter — an INDEPENDENT formulation (no
+    banding) that the banded Spark plan must reproduce exactly, proving the
+    pigeonhole candidate generation loses nothing."""
+    base = simhash_oracle_sql(table, id_col, text_col, bits)
+    return f"""
+    WITH s AS ({base})
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def ngram_jaccard_lsh_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> str:
+    """MinHash-band candidates (same constants as the Spark plan) + exact
+    token-set Jaccard verification on the candidates."""
+    mins = ",\n             ".join(
+        f"MIN(({a} * hm + {b}) % {HASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_id, concat_ws('-', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_TOKS_CTE.format(id=id_col, text=text_col, table=table)},
+    h AS (
+      SELECT {id_col},
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT % {HASH_P} AS hm
+      FROM toks
+    ),
+    sig AS (
+      SELECT {id_col}, {mins} FROM h GROUP BY {id_col}
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.{id_col} < b.{id_col}
+    ),
+    tk AS (
+      SELECT {id_col},
+             list_distinct(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+               AS toks
+      FROM {table}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+             AS jaccard
+    FROM cand c
+    JOIN tk ta ON c.doc_a = ta.{id_col}
+    JOIN tk tb ON c.doc_b = tb.{id_col}
+    WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+          > {threshold}
+    """
+
+
+def embedding_bucketed_oracle_sql(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, num_planes: int = 8, threshold: float = 0.4,
+    seed: int = 12138,
+) -> str:
+    """Same deterministic hyperplane buckets (literal planes) + cosine
+    threshold — the bucket assignment is engine-exact, so the oracle
+    reproduces the bucketed semantics bit-for-bit."""
+    from mintpy_spark.operators.similarity import bucket_oracle_expr
+
+    bexpr = bucket_oracle_expr(vec_col, dim, num_planes, seed)
+    return f"""
+    WITH e AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS v, {bexpr} AS bucket FROM {table}
+    )
+    SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          > {threshold}
     """

@@ -113,3 +113,60 @@ def test_ann_lsh_subset_of_exact_ranking(spark):
     # the very-near clones (ids 1..4) should dominate the hits we do get
     near = {r.vec_id for r in got if r.cos_sim > 0.99}
     assert near.issubset({1, 2, 3, 4})
+
+
+def test_simhash_banded_equals_all_pairs(docs_df, spark):
+    """Pigeonhole exactness: the banded candidate join must reproduce the
+    brute-force global all-pairs result for max_hamming < bands."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_near_dups_banded(docs_df, max_hamming=3, bits=32).collect()
+    }
+    sim = {r.doc_id: r.simhash for r in D.simhash(docs_df, bits=32).collect()}
+    expect = {}
+    ids = sorted(sim)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sim[a] ^ sim[b]).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect
+    # crucially: the exact dup ACROSS blocks (0, 3) is found — the banded
+    # variant is global, unlike the source-blocked one
+    assert (0, 3) in got and got[(0, 3)] == 0
+
+
+def test_ngram_jaccard_lsh_two_stage(docs_df):
+    """Candidates from LSH bands, exact Jaccard verify: identical docs pair
+    at 1.0; sub-threshold candidates are dropped by the exact stage."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_lsh(docs_df, threshold=0.8).collect()
+    }
+    assert pairs.get((0, 3)) == 1.0
+    for (a, b), j in pairs.items():
+        assert a < b and j > 0.8
+
+
+def test_embedding_bucketed_pairs_share_bucket_and_threshold(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(30):
+        noise = rng.normal(size=8) * (0.01 if i < 6 else 2.0)
+        rows.append((i, (base + noise).astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = D.embedding_near_dups_bucketed(df, dim=8, threshold=0.4).collect()
+    assert len(got) >= 1
+    buckets = {r.vec_id: r.bucket for r in S.with_bucket(df, dim=8).collect()}
+    for r in got:
+        assert r.vec_a < r.vec_b
+        assert buckets[r.vec_a] == buckets[r.vec_b]
+        assert r.cos_sim > 0.4
+    # the tight clones all share the base vector's bucket -> their mutual
+    # pairs must be found
+    clone_pairs = {(a, b) for (a, b) in
+                   [(r.vec_a, r.vec_b) for r in got] if a < 6 and b < 6}
+    assert len(clone_pairs) >= 3
