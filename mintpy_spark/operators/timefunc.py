@@ -82,9 +82,14 @@ def param_names(model: dict) -> list[str]:
     return names
 
 
-def design_matrix(dy: np.ndarray, model: dict, ref_year: float) -> np.ndarray:
-    """Design matrix G (num_obs, num_param), float32, reference semantics
-    (time_func.py:204-289 get_design_matrix4time_func and sub-builders)."""
+def design_matrix(
+    dy: np.ndarray, model: dict, ref_year: float, dtype=np.float32
+) -> np.ndarray:
+    """Design matrix G (num_obs, num_param), reference semantics
+    (time_func.py:204-289 get_design_matrix4time_func and sub-builders).
+    float32 by default (the reference's compute dtype); float64 for
+    SQL-oracle-matched paths — the cast must happen HERE, not after, or the
+    float32 truncation of the time columns leaks into 'float64' fits."""
     yr_diff = (dy - ref_year).astype(np.float64)
     cols: list[np.ndarray] = []
     deg = int(model.get("polynomial", 1))
@@ -107,7 +112,7 @@ def design_matrix(dy: np.ndarray, model: dict, ref_year: float) -> np.ndarray:
             with np.errstate(invalid="ignore", divide="ignore"):
                 v = np.nan_to_num(np.log(1 + (dy - t0) / tau), nan=0.0, neginf=0.0)
             cols.append((dy > t0) * v)
-    return np.column_stack(cols).astype(np.float32)
+    return np.column_stack(cols).astype(dtype)
 
 
 def fit_time_func(
@@ -121,6 +126,9 @@ def fit_time_func(
     uncertainty: str = "residue",
     bootstrap_count: int = 400,
     seed: int = 12138,
+    extra_cols: list[str] | None = None,
+    sigma_col: str | None = None,
+    dtype=np.float32,
 ) -> DataFrame:
     """Grouped LS fit: one row per key with fitted params, stds, residue.
 
@@ -132,14 +140,33 @@ def fit_time_func(
     per observation, exactly the reference's weighted inversion
     (ifgram_inversion.py:180-183 multiplies by ``weight_sqrt``).
 
-    ``uncertainty``: 'residue' (default, timeseries2velocity.py:404-415)
-    or 'bootstrap' (:304-339 — ``bootstrap_count`` resamples with
+    ``uncertainty``: 'residue' (default, timeseries2velocity.py:404-415),
+    'bootstrap' (:304-339 — ``bootstrap_count`` resamples with
     replacement, std of the resampled parameter estimates; the reference
-    defaults to 400). Bootstrap RNG is counter-seeded per key so results
-    are partition-order independent.
+    defaults to 400; RNG counter-seeded per key so results are
+    partition-order independent), or 'covariance' (:377-402 /
+    ifgram_inversion.py:230-265 ``estimate_timeseries_cov``): linear
+    propagation of per-observation std ``sigma_col`` through the pseudo-
+    inverse, ``m_cov = Gplus @ diag(sigma^2) @ Gplus.T`` — the input-noise
+    uncertainty, independent of the fit residual. With ``weight_col`` set,
+    propagation runs through the weighted estimator (Gplus of the scaled
+    system, sigma scaled by sqrt(w)); with w = 1/sigma^2 this reduces to
+    the classical (G' W G)^-1.
+
+    ``extra_cols``: per-observation regressor columns appended to the
+    design matrix — the DEM-error pattern (dem_error.py:137-171 appends
+    the geometry column ``bperp/(r sin(theta))`` to the time-function
+    design); each contributes a parameter named after the column.
+
+    ``dtype``: design-matrix dtype. float32 by default for value parity
+    with the reference's compute dtype (ifgram_inversion.py:151); pass
+    np.float64 for SQL-oracle-matched queries.
     """
     model = model or {"polynomial": 1}
-    names = param_names(model)
+    extra_cols = list(extra_cols or [])
+    if uncertainty == "covariance" and sigma_col is None:
+        raise ValueError("uncertainty='covariance' requires sigma_col")
+    names = param_names(model) + extra_cols
     fields = [T.StructField(key, obs.schema[key].dataType)]
     fields += [T.StructField(n, T.DoubleType()) for n in names]
     fields += [T.StructField(f"{n}_std", T.DoubleType()) for n in names]
@@ -152,12 +179,15 @@ def fit_time_func(
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts)
-        v = pdf[value_col].to_numpy(dtype=np.float32)
+        v = pdf[value_col].to_numpy(dtype=dtype)
         ok = ~np.isnan(v)
         v, tvals = v[ok], pdf[ts].to_numpy()[ok]
         wsqrt = None
         if weight_col is not None:
             wsqrt = np.sqrt(pdf[weight_col].to_numpy(dtype=np.float64)[ok])
+        sigma = None
+        if sigma_col is not None:
+            sigma = pdf[sigma_col].to_numpy(dtype=np.float64)[ok]
         out: dict[str, Any] = {key: [pdf[key].iloc[0]]}
         n = int(v.size)
         if n < num_param:
@@ -169,7 +199,10 @@ def fit_time_func(
             return pd.DataFrame(out)
         dy = _decimal_year_np(pd.Series(tvals))
         ref = ref_year if ref_year is not None else float(dy[0])
-        G = design_matrix(dy, model, ref)
+        G = design_matrix(dy, model, ref, dtype=dtype)
+        if extra_cols:  # DEM-error pattern: per-obs regressors appended
+            X = pdf[extra_cols].to_numpy(dtype=np.float64)[ok]
+            G = np.column_stack([G.astype(np.float64), X]).astype(dtype)
 
         def solve(Gm: np.ndarray, d: np.ndarray, ws: np.ndarray | None):
             if ws is not None:  # WLS: scale both sides (ifgram_inversion.py:180)
@@ -185,7 +218,17 @@ def fit_time_func(
             Gd = G.astype(np.float64) if wsqrt is None else G.astype(np.float64) * wsqrt[:, None]
             dd = v.astype(np.float64) if wsqrt is None else v.astype(np.float64) * wsqrt
             e2 = np.array([float(np.sum((dd - Gd @ m) ** 2))])
-        if uncertainty == "bootstrap" and n > num_param:
+        if uncertainty == "covariance":
+            # linear propagation of input std through the pseudo-inverse:
+            # m_cov = Gplus @ diag(sigma^2) @ Gplus.T
+            # (timeseries2velocity.py:377-402, ifgram_inversion.py:230-265);
+            # with weights, propagate through the weighted estimator
+            Gw = G.astype(np.float64) if wsqrt is None else G.astype(np.float64) * wsqrt[:, None]
+            s = sigma if wsqrt is None else sigma * wsqrt
+            Gplus = np.linalg.pinv(Gw)
+            m_cov = (Gplus * np.square(s)[None, :]) @ Gplus.T
+            m_std = np.sqrt(np.diag(m_cov))
+        elif uncertainty == "bootstrap" and n > num_param:
             # timeseries2velocity.py:304-339; counter-seeded per key
             # (md5, not hash(): PYTHONHASHSEED salting would break
             # run-to-run determinism across python workers)
@@ -222,6 +265,9 @@ def fit_time_func(
         return pd.DataFrame(out)
 
     cols = [key, ts, value_col] + ([weight_col] if weight_col else [])
+    cols += [c for c in extra_cols if c not in cols]
+    if sigma_col is not None and sigma_col not in cols:
+        cols.append(sigma_col)
     return obs.select(*cols).groupBy(key).applyInPandas(fit, schema)
 
 

@@ -345,3 +345,145 @@ def velocity_with_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.96) * std, 4).alias("ci95"),
         F.col("n").alias("num_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: covariance propagation, extra-regressor fit, weight generators
+# ---------------------------------------------------------------------------
+
+# Deterministic per-observation pseudo-sigma (the per-obs std an ingest
+# pipeline would attach): 0.5 + (event_id % 7) / 4 — identical expression
+# inlined into the SQL oracle.
+_SIGMA_SQL = "(0.5 + (event_id % 7) * 0.25)"
+
+
+@_q(
+    "velocity_sigma_cov",
+    f"""
+    WITH b AS (
+      SELECT user_id, value,
+             1.0 / ({_SIGMA_SQL} * {_SIGMA_SQL}) AS w,
+             {_DY_SQL.format(t='ts')} - 2024.0 AS t
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             SUM(w)             AS sw,
+             SUM(w * t)         AS swt,
+             SUM(w * t * t)     AS swtt,
+             SUM(w * value)     AS swv,
+             SUM(w * t * value) AS swtv,
+             COUNT(*)           AS n
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id,
+           ROUND((sw * swtv - swt * swv) / (sw * swtt - swt * swt), 4)   AS velocity,
+           ROUND((swtt * swv - swt * swtv) / (sw * swtt - swt * swt), 4) AS intercept,
+           ROUND(sqrt(sw   / (sw * swtt - swt * swt)), 4) AS velocity_std,
+           ROUND(sqrt(swtt / (sw * swtt - swt * swt)), 4) AS intercept_std,
+           n AS num_obs
+    FROM s WHERE n > 2
+    """,
+)
+def velocity_sigma_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WLS velocity with covariance-propagated parameter std
+    (timeseries2velocity.py:377-402 'covariance' uncertainty;
+    ifgram_inversion.py:230-265 Gplus diag(sigma^2) Gplus'): per-obs
+    sigma drives both the weights (w = 1/sigma^2) and the propagation, so
+    the std reduces to the closed-form (G' W G)^-1 diagonal the SQL oracle
+    computes independently. dtype=float64 for cross-engine value parity."""
+    import numpy as np
+
+    from mintpy_spark.operators.timefunc import fit_time_func
+
+    ev = load(spark, sf_dir, "events")
+    sigma = F.lit(0.5) + (F.col("event_id") % 7) * F.lit(0.25)
+    obs = ev.select(
+        "user_id", "ts", "value",
+        sigma.alias("sigma"),
+        (F.lit(1.0) / (sigma * sigma)).alias("w"),
+    )
+    out = fit_time_func(
+        obs, "value", {"polynomial": 1}, key="user_id", ts="ts",
+        ref_year=2024.0, weight_col="w", sigma_col="sigma",
+        uncertainty="covariance", dtype=np.float64,
+    )
+    return out.where(F.col("num_obs") > 2).select(
+        "user_id",
+        F.round("velocity", 4).alias("velocity"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("velocity_std", 4).alias("velocity_std"),
+        F.round("intercept_std", 4).alias("intercept_std"),
+        "num_obs",
+    )
+
+
+@_q("velocity_dem_pattern")  # rows-only: per-group lstsq with an extra
+# per-observation regressor (non-SQL op); truth-recovery lives in
+# tests/test_timefunc.py::test_extra_cols_recovers_geometry_coefficient.
+def velocity_dem_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint fit of time functions + a per-observation geometry regressor
+    (the DEM-error pattern, dem_error.py:137-171: bperp/(r sin theta) as an
+    extra design column). The regressor here is a deterministic pseudo-
+    geometry column derived from event_id."""
+    import numpy as np
+
+    from mintpy_spark.operators.timefunc import fit_time_func
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id", "ts", "value",
+        (F.sin(F.col("event_id").cast("double") * 0.7) * 100.0).alias("bp"),
+    )
+    out = fit_time_func(
+        obs, "value", {"polynomial": 1}, key="user_id", ts="ts",
+        ref_year=2024.0, extra_cols=["bp"], dtype=np.float64,
+    )
+    return out.select(
+        "user_id",
+        F.round("velocity", 4).alias("velocity"),
+        F.round("bp", 4).alias("bp_coef"),
+        F.round("bp_std", 4).alias("bp_coef_std"),
+        "num_obs",
+    )
+
+
+@_q(
+    "weight_fisher_stats",
+    """
+    SELECT event_type,
+           ROUND(SUM(w), 2) AS w_sum,
+           ROUND(MIN(w), 4) AS w_min,
+           ROUND(MAX(w), 4) AS w_max,
+           COUNT(*) AS cnt
+    FROM (
+      SELECT event_type,
+             CAST(2.0 * 20 * c * c / (1.0 - c * c) AS FLOAT) AS w
+      FROM (
+        SELECT event_type,
+               LEAST(GREATEST((event_id % 100 + 0.5) / 101.0, 0.05), 1.0 - 0.001) AS c
+        FROM events
+      )
+    )
+    GROUP BY event_type
+    """,
+)
+def weight_fisher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coherence->weight generator exercised end-to-end: a deterministic
+    [0,1] quality score per event is converted to Fisher-information WLS
+    weights (decorrelation.py:325-334, L=20, float64 math, float32 output)
+    and aggregated per type — the oracle re-derives the closed form."""
+    from mintpy_spark.functions.weights import coherence2weight
+
+    ev = load(spark, sf_dir, "events")
+    c = (F.col("event_id") % 100 + 0.5) / 101.0
+    w = coherence2weight(c, weight_func="fisher", L=20)
+    return (
+        ev.select("event_type", w.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("w"), 2).alias("w_sum"),
+            F.round(F.min("w"), 4).alias("w_min"),
+            F.round(F.max("w"), 4).alias("w_max"),
+            F.count("*").alias("cnt"),
+        )
+    )

@@ -140,3 +140,78 @@ def test_insufficient_obs_yields_nulls(spark):
     )
     out = fit_time_func(one, "text_length", {"polynomial": 1}).collect()[0]
     assert out["velocity"] is None and out["num_obs"] == 1
+
+
+def test_extra_cols_recovers_geometry_coefficient(spark):
+    """DEM-error pattern (dem_error.py:137-171; test model tests/
+    dem_error.py:59-67): seed a per-observation regressor term, fit with
+    extra_cols, recover its coefficient."""
+    import pandas as pd
+
+    from mintpy_spark.operators.timefunc import _decimal_year_np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    truth = {}
+    for k in range(8):
+        n = 60
+        ts = pd.date_range("2023-01-01", periods=n, freq="6D")
+        dy = _decimal_year_np(pd.Series(ts))
+        bperp = rng.uniform(-120, 120, n)
+        vel, coef = rng.uniform(-40, 40), rng.uniform(-0.5, 0.5)
+        truth[f"u{k}"] = (vel, coef)
+        v = 50 + vel * (dy - dy[0]) + coef * bperp + rng.normal(0, 0.01, n)
+        for t, b, val in zip(ts, bperp, v):
+            rows.append((f"u{k}", t, float(val), float(b)))
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text_length", "bperp"])
+    out = (
+        fit_time_func(
+            spark.createDataFrame(pdf), "text_length", {"polynomial": 1},
+            extra_cols=["bperp"], dtype=np.float64,
+        )
+        .toPandas().set_index("url")
+    )
+    for k, (vel, coef) in truth.items():
+        assert abs(out.loc[k, "velocity"] - vel) < 0.05
+        assert abs(out.loc[k, "bperp"] - coef) < 1e-3
+
+
+def test_covariance_uncertainty_matches_numpy_propagation(spark):
+    """uncertainty='covariance' == sqrt(diag(Gplus @ diag(s^2) @ Gplus.T))
+    (timeseries2velocity.py:377-402); with w = 1/s^2 it equals the
+    closed-form (G' W G)^-1 diagonal."""
+    import pandas as pd
+
+    from mintpy_spark.operators.timefunc import _decimal_year_np
+
+    rng = np.random.default_rng(9)
+    n = 30
+    ts = pd.date_range("2023-01-01", periods=n, freq="12D")
+    dy = _decimal_year_np(pd.Series(ts))
+    sig = rng.uniform(0.5, 3.0, n)
+    v = 10 + 5 * (dy - dy[0]) + rng.normal(0, sig)
+    pdf = pd.DataFrame(
+        {"url": "u0", "warc_ts": ts, "text_length": v, "sig": sig,
+         "w": 1.0 / sig**2}
+    )
+    df = spark.createDataFrame(pdf)
+    # unweighted propagation
+    row = fit_time_func(
+        df, "text_length", {"polynomial": 1}, sigma_col="sig",
+        uncertainty="covariance", dtype=np.float64,
+    ).collect()[0]
+    G = design_matrix(dy, {"polynomial": 1}, float(dy[0]), dtype=np.float64)
+    Gplus = np.linalg.pinv(G)
+    m_cov = Gplus @ np.diag(sig**2) @ Gplus.T
+    expect = np.sqrt(np.diag(m_cov))
+    assert abs(row["intercept_std"] - expect[0]) < 1e-9
+    assert abs(row["velocity_std"] - expect[1]) < 1e-9
+    # weighted with w = 1/s^2 -> (G' W G)^-1
+    row_w = fit_time_func(
+        df, "text_length", {"polynomial": 1}, sigma_col="sig", weight_col="w",
+        uncertainty="covariance", dtype=np.float64,
+    ).collect()[0]
+    GtWG_inv = np.linalg.inv(G.T @ np.diag(1.0 / sig**2) @ G)
+    expect_w = np.sqrt(np.diag(GtWG_inv))
+    assert abs(row_w["intercept_std"] - expect_w[0]) < 1e-8
+    assert abs(row_w["velocity_std"] - expect_w[1]) < 1e-8
