@@ -61,15 +61,28 @@ def mad_outlier_epochs(
 ) -> DataFrame:
     """Epochs whose RMS deviates > cutoff * 1.4826 * MAD from the median —
     the exclude-date detector (utils/utils0.py:1166-1221 median_abs_deviation
-    with scale='normal', timeseries_rms.py:45-72)."""
-    med = epoch_rms.agg(F.median("rms").alias("m")).collect()[0]["m"]
-    mad = (
-        epoch_rms.select(F.abs(F.col("rms") - F.lit(med)).alias("d"))
-        .agg(F.median("d").alias("mad"))
-        .collect()[0]["mad"]
+    with scale='normal', timeseries_rms.py:45-72).
+
+    Fully lazy — zero driver collects: the median and the MAD are 1-row
+    aggregates broadcast back onto the epoch table (two tiny scalar
+    subplans, one composed job when the result is consumed), so the
+    operator chains into larger plans without forcing actions."""
+    med = epoch_rms.agg(F.median("rms").alias("_med"))
+    stats = (
+        epoch_rms.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("_med").alias("_med"),
+            F.median(F.abs(F.col("rms") - F.col("_med"))).alias("_mad"),
+        )
     )
-    thresh = med + cutoff * 1.4826 * (mad or 0.0)
-    return epoch_rms.where(F.col("rms") > thresh).select(time_col, "rms")
+    thresh = F.col("_med") + F.lit(cutoff) * F.lit(1.4826) * F.coalesce(
+        F.col("_mad"), F.lit(0.0)
+    )
+    return (
+        epoch_rms.crossJoin(F.broadcast(stats))
+        .where(F.col("rms") > thresh)
+        .select(time_col, "rms")
+    )
 
 
 def deramp_epoch(
@@ -77,23 +90,64 @@ def deramp_epoch(
     value_col: str,
     coord_col: str,
     time_col: str = "warc_ts",
+    order: int = 1,
 ) -> DataFrame:
-    """Per-epoch linear detrend against a 1-D coordinate.
+    """Per-epoch polynomial detrend against a 1-D coordinate.
 
-    Reference analog: deramp — per-epoch polynomial surface fit in (y, x)
-    subtracted from the image (objects/ramp.py:24-127, order 'linear').
-    Here the epoch's cross-section is regressed on ``coord_col`` via the
-    closed-form OLS (covar_pop/var_pop window aggregates — no solver, no
-    Python) and the fitted ramp is subtracted row-wise. Zero-variance
-    epochs (single point) fall back to mean-centering.
+    Reference analog: deramp — per-epoch polynomial surface fit subtracted
+    from the image (objects/ramp.py:14-21 registry: 'linear', 'quadratic';
+    :24-127 solver). Here the epoch's cross-section is regressed on
+    ``coord_col`` via closed-form OLS — no solver, no Python:
+
+    * ``order=1``: slope = covar_pop/var_pop window aggregates.
+    * ``order=2``: the coordinate is centered per epoch (u = x - mean(x),
+      which zeroes the first moment and tames the normal-equation
+      conditioning), then the 3x3 normal system in (1, u, u^2) is solved
+      by Cramer's rule over the centered moment aggregates
+      m2..m4 = avg(u^k), r = (avg(v), avg(u v), avg(u^2 v)).
+
+    Degenerate epochs (moment determinant 0: single point, or < 3 distinct
+    coordinates for order 2) fall back to the lower order / mean-centering.
     """
     w = Window.partitionBy(time_col)
     x = F.col(coord_col).cast("double")
     v = F.col(value_col).cast("double")
     slope_raw = F.covar_pop(x, v).over(w) / F.nullif(F.var_pop(x).over(w), F.lit(0.0))
     slope = F.coalesce(slope_raw, F.lit(0.0))
-    fitted = F.avg(v).over(w) + slope * (x - F.avg(x).over(w))
-    return obs.withColumn("deramped", v - fitted)
+    linear_fit = F.avg(v).over(w) + slope * (x - F.avg(x).over(w))
+    if order == 1:
+        return obs.withColumn("deramped", v - linear_fit)
+    if order != 2:
+        raise ValueError(f"unsupported deramp order: {order}")
+    # centered coordinate + moments (each a distinct window aggregate —
+    # WindowExec evaluates each once per row; staging via withColumn keeps
+    # the centered u out of CollapseProject re-inlining)
+    staged = obs.withColumn("_u", x - F.avg(x).over(w)).withColumn("_lin", linear_fit)
+    u = F.col("_u")
+    wu = Window.partitionBy(time_col)
+    m2 = F.avg(u * u).over(wu)
+    m3 = F.avg(u * u * u).over(wu)
+    m4 = F.avg(u * u * u * u).over(wu)
+    r0 = F.avg(v).over(wu)
+    r1 = F.avg(u * v).over(wu)
+    r2 = F.avg(u * u * v).over(wu)
+    staged = (
+        staged.withColumn("_m2", m2).withColumn("_m3", m3).withColumn("_m4", m4)
+        .withColumn("_r0", r0).withColumn("_r1", r1).withColumn("_r2", r2)
+    )
+    m2c, m3c, m4c = F.col("_m2"), F.col("_m3"), F.col("_m4")
+    r0c, r1c, r2c = F.col("_r0"), F.col("_r1"), F.col("_r2")
+    det = m2c * m4c - m3c * m3c - m2c * m2c * m2c
+    alpha = (r0c * (m2c * m4c - m3c * m3c) + m2c * (r1c * m3c - m2c * r2c)) / det
+    beta = (r1c * m4c - m3c * r2c + r0c * m3c * m2c - r1c * m2c * m2c) / det
+    gamma = (m2c * r2c - r1c * m3c - r0c * m2c * m2c) / det
+    quad_fit = alpha + beta * u + gamma * u * u
+    # degenerate epoch (det ~ 0) -> linear fallback (ramp.py masks instead;
+    # the lower order is the lossless analog for a 1-D cross-section)
+    fitted = F.when(F.abs(det) > F.lit(1e-9), quad_fit).otherwise(F.col("_lin"))
+    return staged.withColumn("deramped", v - fitted).drop(
+        "_u", "_lin", "_m2", "_m3", "_m4", "_r0", "_r1", "_r2"
+    )
 
 
 def temporal_coherence(

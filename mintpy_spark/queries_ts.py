@@ -487,3 +487,124 @@ def weight_fisher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
         )
     )
+
+
+@_q(
+    "deramp2_daily",
+    """
+    WITH b AS (
+      SELECT user_id, ts, value,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(user_id AS DOUBLE) AS x
+      FROM events
+    ),
+    cu AS (
+      SELECT user_id, ts, value, day, x,
+             x - AVG(x) OVER (PARTITION BY day) AS u,
+             AVG(value) OVER (PARTITION BY day)
+               + COALESCE(covar_pop(x, value) OVER (PARTITION BY day)
+                          / nullif(var_pop(x) OVER (PARTITION BY day), 0), 0)
+                 * (x - AVG(x) OVER (PARTITION BY day)) AS lin
+      FROM b
+    ),
+    m AS (
+      SELECT user_id, ts, value, u, lin,
+             AVG(u*u)       OVER w AS m2,
+             AVG(u*u*u)     OVER w AS m3,
+             AVG(u*u*u*u)   OVER w AS m4,
+             AVG(value)     OVER w AS r0,
+             AVG(u*value)   OVER w AS r1,
+             AVG(u*u*value) OVER w AS r2
+      FROM cu WINDOW w AS (PARTITION BY day)
+    )
+    SELECT user_id, ts,
+           ROUND(value - CASE
+             WHEN abs(m2*m4 - m3*m3 - m2*m2*m2) > 1e-9 THEN
+               (r0*(m2*m4 - m3*m3) + m2*(r1*m3 - m2*r2)) / (m2*m4 - m3*m3 - m2*m2*m2)
+               + (r1*m4 - m3*r2 + r0*m3*m2 - r1*m2*m2) / (m2*m4 - m3*m3 - m2*m2*m2) * u
+               + (m2*r2 - r1*m3 - r0*m2*m2) / (m2*m4 - m3*m3 - m2*m2*m2) * u * u
+             ELSE lin END, 3) AS deramped
+    FROM m
+    """,
+)
+def deramp2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch QUADRATIC detrend against the key coordinate (deramp
+    order 'quadratic', objects/ramp.py:14-21): centered-moment Cramer
+    solve as pure window aggregates, no Python."""
+    from mintpy_spark.operators.stats import deramp_epoch
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    out = deramp_epoch(ev, "value", coord_col="user_id", time_col="day", order=2)
+    return out.select("user_id", "ts", F.round("deramped", 3).alias("deramped"))
+
+
+@_q(
+    "diff_vs_model",
+    f"""
+    WITH t AS (
+      SELECT user_id, ts, value, {_DY_SQL.format(t='ts')} - 2024.0 AS t FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             covar_pop(t, value) / var_pop(t) AS vel,
+             AVG(value) - covar_pop(t, value) / var_pop(t) * AVG(t) AS icpt
+      FROM t GROUP BY user_id
+    )
+    SELECT t.user_id, t.ts,
+           ROUND(t.value - (m.icpt + m.vel * t.t), 4) AS resid
+    FROM t JOIN m ON t.user_id = m.user_id
+    """,
+)
+def diff_vs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series minus its evaluated time-function model (diff.py:152
+    diff-vs-velocity-file): fit linear_velocity per key, evaluate at every
+    observation timestamp, subtract. The model table is key-cardinality
+    (small) -> broadcast join back onto the observations."""
+    from mintpy_spark.functions.timefn import decimal_year
+    from mintpy_spark.operators.timefunc import linear_velocity
+
+    ev = load(spark, sf_dir, "events")
+    model = linear_velocity(ev, "value", key="user_id", ts="ts", ref_year=2024.0)
+    t = decimal_year(F.col("ts")) - F.lit(2024.0)
+    return (
+        ev.withColumn("t", t)
+        .join(F.broadcast(model), "user_id")
+        .select(
+            "user_id",
+            "ts",
+            F.round(
+                F.col("value") - (F.col("intercept") + F.col("velocity") * F.col("t")),
+                4,
+            ).alias("resid"),
+        )
+    )
+
+
+@_q(
+    "mad_outlier_days",
+    """
+    WITH rms AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             SQRT(AVG(value * value)) AS rms
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT median(rms) AS m FROM rms),
+    st AS (SELECT MIN(m) AS m, median(abs(rms - m)) AS mad FROM rms, med)
+    SELECT day, ROUND(rms, 4) AS rms
+    FROM rms, st
+    WHERE rms > m + 1.0 * 1.4826 * COALESCE(mad, 0)
+    """,
+)
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based outlier epochs over the daily RMS profile
+    (timeseries_rms.py:45-72 exclude-date detector; MAD utils0.py:
+    1166-1221) — the collect-free operator: median and MAD are broadcast
+    1-row aggregates, the whole detector is one composed job."""
+    from mintpy_spark.operators.stats import epoch_std_rms, mad_outlier_epochs
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    rms = epoch_std_rms(ev, "value", time_col="day").select("day", "rms")
+    out = mad_outlier_epochs(rms, cutoff=1.0, time_col="day")
+    return out.select("day", F.round("rms", 4).alias("rms"))

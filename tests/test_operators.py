@@ -165,3 +165,72 @@ def test_masks_and_retention(spark, obs):
     import datetime
 
     assert kept.agg(F.min("warc_ts")).collect()[0][0] >= datetime.datetime(2023, 7, 1)
+
+
+def test_deramp_quadratic_removes_exact_parabola(spark):
+    """A pure quadratic cross-section deramps to ~0 everywhere; the linear
+    deramp cannot (ramp.py 'quadratic' vs 'linear' orders)."""
+    import pandas as pd
+
+    from mintpy_spark.operators.stats import deramp_epoch
+
+    rows = []
+    for day in ["2024-01-01", "2024-01-02"]:
+        for x in range(-10, 11):
+            v = 5.0 + 0.75 * x + 0.2 * x * x
+            rows.append((pd.Timestamp(day), float(x), v))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["day", "x", "v"]))
+    out2 = deramp_epoch(df, "v", coord_col="x", time_col="day", order=2)
+    resid2 = out2.agg(F.max(F.abs("deramped"))).collect()[0][0]
+    assert resid2 < 1e-9
+    out1 = deramp_epoch(df, "v", coord_col="x", time_col="day", order=1)
+    resid1 = out1.agg(F.max(F.abs("deramped"))).collect()[0][0]
+    assert resid1 > 1.0  # the parabola survives a linear fit
+
+
+def test_deramp_quadratic_degenerate_epoch_falls_back(spark):
+    """Two distinct coordinates cannot support a quadratic -> linear
+    fallback, which fits two points exactly."""
+    import pandas as pd
+
+    from mintpy_spark.operators.stats import deramp_epoch
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "day": [pd.Timestamp("2024-01-01")] * 2,
+                "x": [0.0, 1.0],
+                "v": [3.0, 7.0],
+            }
+        )
+    )
+    out = deramp_epoch(df, "v", coord_col="x", time_col="day", order=2)
+    resid = out.agg(F.max(F.abs("deramped"))).collect()[0][0]
+    assert resid < 1e-9
+
+
+def test_mad_outlier_collect_free(spark):
+    """mad_outlier_epochs flags exactly the planted outlier and builds a
+    single lazy plan (no driver collect inside the operator)."""
+    import pandas as pd
+
+    from mintpy_spark.operators.stats import mad_outlier_epochs
+
+    rms = [1.0, 1.1, 0.9, 1.05, 0.95, 1.02, 9.0]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "warc_ts": pd.date_range("2024-01-01", periods=len(rms)),
+                "rms": rms,
+            }
+        )
+    )
+    out = mad_outlier_epochs(df, cutoff=3.0)
+    got = out.collect()
+    assert len(got) == 1 and abs(got[0]["rms"] - 9.0) < 1e-12
+    # replicate the reference arithmetic
+    import numpy as np
+
+    med = float(np.median(rms))
+    mad = float(np.median(np.abs(np.array(rms) - med)))
+    assert all(r["rms"] > med + 3.0 * 1.4826 * mad for r in got)
