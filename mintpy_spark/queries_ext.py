@@ -446,3 +446,18 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         F.count("value").alias("cnt"),
     )
+
+
+@_q(
+    "text_langid_ngram",
+    __import__("mintpy_spark.functions.langid", fromlist=["x"]).classify_oracle_sql(),
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profile language ID (Cavnar & Trenkle 1994):
+    bounded trigram extraction per doc, ~60-row broadcast profile join,
+    integer scores, deterministic argmax — supersedes the marker-word
+    heuristic (text_langid) with a real n-gram profile classifier."""
+    from mintpy_spark.functions.langid import classify
+
+    d = load(spark, sf_dir, "documents")
+    return classify(d)

@@ -75,3 +75,25 @@ def test_jvm_extractor_malformed_and_unicode(spark):
     assert got[3] is None
     assert got[4] is None
     assert got[5] == "a</body>mid"
+
+
+def test_langid_ngram_classifies_natural_text(spark):
+    """The trigram-profile classifier carries real language signal, not
+    just deterministic shape: short natural-language samples classify to
+    the right profile; profile-free strings fall to 'unknown'."""
+    from mintpy_spark.functions.langid import classify
+
+    samples = [
+        (0, "the quick brown fox is one of the animals in the old story"),
+        (1, "der hund und die katze sind ein gutes beispiel aus dem buch"),
+        (2, "le chat et le chien sont des animaux que la ville connait"),
+        (3, "el perro y el gato son los animales que la gente quiere"),
+        (4, "zzzz qqqq xxxx"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {r.doc_id: r.guess for r in classify(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "unknown"
