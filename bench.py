@@ -43,6 +43,11 @@ HEADLINE = [
     "simsearch_ann_lsh",
     "text_quality",
     "sessionize_7d",
+    # round 2 additions (VERDICT #8): a fact-fact join and an
+    # extraction-heavy regex scan; the 12 entries above stay stable for
+    # round-over-round comparison
+    "olap_segment_revenue",
+    "text_token_classes",
 ]
 
 

@@ -412,3 +412,64 @@ def joint_decompose_2geom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vert", 4).alias("vert"),
         "num_obs",
     )
+
+
+@_q(
+    "wrap_phase_stats",
+    """
+    SELECT event_type,
+           ROUND(SUM(wrapped), 4) AS wsum,
+           ROUND(MIN(wrapped), 4) AS wmin,
+           ROUND(MAX(wrapped), 4) AS wmax,
+           COUNT(*) AS cnt
+    FROM (
+      SELECT event_type,
+             -pi() + ((value - -pi()) % (2 * pi()) + 2 * pi()) % (2 * pi()) AS wrapped
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def wrap_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-wrap pmod into [-pi, pi) then aggregate (the re-wrap transform,
+    utils0.py wrap; exposed as functions.scalars.wrap). The oracle's
+    double-% is DuckDB's positive-modulo spelling of Spark's pmod."""
+    from mintpy_spark.functions.scalars import wrap
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", wrap(F.col("value")).alias("wrapped"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("wrapped"), 4).alias("wsum"),
+            F.round(F.min("wrapped"), 4).alias("wmin"),
+            F.round(F.max("wrapped"), 4).alias("wmax"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@_q(
+    "temporal_avg_scaled",
+    """
+    SELECT user_id,
+           ROUND(SUM(value * 0.001), 5) AS scaled_sum,
+           COUNT(value) AS cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def temporal_avg_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled temporal average (the ifgramStack temporal_average variant,
+    stack.py:451-456 applies a literal scale during the mean — e.g.
+    phase->displacement). Emitted as the decomposable (scaled sum, count)
+    partials; mean derives as scaled_sum/cnt. Rounded at 5 dp — the scaled
+    inputs are exact 5-dp values, so any coarser rounding sits exactly on
+    half-way points where engine rounding conventions diverge."""
+    from mintpy_spark.functions.scalars import convert_unit
+
+    ev = load(spark, sf_dir, "events")
+    scaled = convert_unit(F.col("value"), "m", "mm") * F.lit(1e-6)  # 0.001 net
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(scaled), 5).alias("scaled_sum"),
+        F.count("value").alias("cnt"),
+    )
