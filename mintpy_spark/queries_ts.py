@@ -601,7 +601,14 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD-based outlier epochs over the daily RMS profile
     (timeseries_rms.py:45-72 exclude-date detector; MAD utils0.py:
     1166-1221) — the collect-free operator: median and MAD are broadcast
-    1-row aggregates, the whole detector is one composed job."""
+    1-row aggregates, the whole detector is one composed job.
+
+    Plan note: inlining rms-from-raw here makes the static plan scan the
+    fact table three times (median / MAD / filter sides; AQE exchange
+    reuse collapses them at runtime). The production composition runs the
+    detector over the STORED 1d tier (epoch-cardinality, tiny), where the
+    triple reference costs nothing — mad_outlier_epochs takes any
+    epoch_rms DataFrame for exactly that reason."""
     from mintpy_spark.operators.stats import epoch_std_rms, mad_outlier_epochs
 
     ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
