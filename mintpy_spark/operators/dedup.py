@@ -41,7 +41,14 @@ _SIG_SLOT: list = []
 
 def _persist_one(df: DataFrame) -> DataFrame:
     while _SIG_SLOT:
-        _SIG_SLOT.pop().unpersist()
+        prev = _SIG_SLOT.pop()
+        try:
+            prev.unpersist()
+        except Exception:
+            # the previous table belonged to a SparkSession that has been
+            # stopped since (multi-session tools); its storage died with
+            # the session — nothing to release
+            pass
     df = df.persist()
     _SIG_SLOT.append(df)
     return df

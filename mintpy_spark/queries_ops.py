@@ -473,3 +473,50 @@ def temporal_avg_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(scaled), 5).alias("scaled_sum"),
         F.count("value").alias("cnt"),
     )
+
+
+@_q(
+    "lut_remap_stats",
+    """
+    WITH lut(event_type, gain, offs) AS (VALUES
+      ('click',    1.5, 0.0),
+      ('view',     1.0, 0.0),
+      ('purchase', 3.0, 2.0),
+      ('signup',   2.0, 1.0),
+      ('error',    0.0, 0.0)
+    )
+    SELECT e.event_type,
+           ROUND(SUM(e.value * l.gain + l.offs), 3) AS mapped_sum,
+           COUNT(*) AS cnt
+    FROM events e JOIN lut l ON e.event_type = l.event_type
+    GROUP BY e.event_type
+    """,
+)
+def lut_remap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-table value remap (the reference's lookup-table join family:
+    geometry/unit LUTs applied per record before aggregation) as a
+    broadcast dimension join — the LUT is rows-not-logic, so changing the
+    mapping is data, not a code change. The 1.5 gain makes mapped values
+    exact 3-dp multiples, so sums round collision-free at 3 dp (rounding
+    coarser would sit on half-way points)."""
+    ev = load(spark, sf_dir, "events")
+    lut = spark.createDataFrame(
+        [
+            ("click", 1.5, 0.0),
+            ("view", 1.0, 0.0),
+            ("purchase", 3.0, 2.0),
+            ("signup", 2.0, 1.0),
+            ("error", 0.0, 0.0),
+        ],
+        "event_type string, gain double, offs double",
+    )
+    return (
+        ev.join(F.broadcast(lut), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("gain") + F.col("offs")), 3).alias(
+                "mapped_sum"
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
