@@ -170,3 +170,52 @@ def test_embedding_bucketed_pairs_share_bucket_and_threshold(spark):
     clone_pairs = {(a, b) for (a, b) in
                    [(r.vec_a, r.vec_b) for r in got] if a < 6 and b < 6}
     assert len(clone_pairs) >= 3
+
+
+def test_simhash_banded_wide_hash(docs_df):
+    """The production width (bits=60, the full token-hash width; 15-bit
+    bands) works through the long bit arithmetic and still reproduces the
+    brute-force result."""
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_near_dups_banded(
+            docs_df, max_hamming=3, bits=60, bands=4
+        ).collect()
+    }
+    sim = {r.doc_id: r.simhash for r in D.simhash(docs_df, bits=60).collect()}
+    ids = sorted(sim)
+    expect = {
+        (a, b): bin(sim[a] ^ sim[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sim[a] ^ sim[b]).count("1") <= 3
+    }
+    assert got == expect
+    assert (0, 3) in got  # identical docs still collide at full width
+
+
+def test_keeper_map_one_hop(spark, docs_df):
+    """Keeper resolution: duplicate docs map to the lowest id of a pair
+    partner; singletons map to themselves."""
+    from mintpy_spark.queries import queries  # registry import side effects
+
+    pairs = D.minhash_near_dups(docs_df, threshold=0.9).select("doc_a", "doc_b")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r.keeper
+        for r in (
+            docs_df.select("doc_id")
+            .join(pairs, F.col("doc_id") == F.col("doc_b"), "left")
+            .groupBy("doc_id")
+            .agg(
+                F.least(
+                    F.col("doc_id"), F.coalesce(F.min("doc_a"), F.col("doc_id"))
+                ).alias("keeper")
+            )
+            .collect()
+        )
+    }
+    assert got[3] == 0       # doc 3 is an exact dup of doc 0
+    assert got[0] == 0       # the keeper keeps itself
+    assert got[4] == 4       # singleton
