@@ -78,3 +78,60 @@ def test_streaming_matches_batch_and_is_incremental(spark, paths):
     assert (
         got2.groupBy("url", "bucket_start").count().where("count > 1").count() == 0
     )
+
+
+def _run_changes(spark, inp, outp, ckpt):
+    from mintpy_spark.streaming.change_detect import change_events
+
+    src = (
+        spark.readStream.schema("url string, warc_ts timestamp, text_length long")
+        .parquet(inp)
+    )
+    q = (
+        change_events(src)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stateful_change_detector_matches_batch_twin(spark, paths):
+    inp, outp, ckpt = paths
+    obs1 = [
+        ("u1", dt.datetime(2023, 1, 1, 0), 10),
+        ("u1", dt.datetime(2023, 1, 1, 1), 10),   # unchanged -> no event
+        ("u1", dt.datetime(2023, 1, 1, 2), 15),   # change
+        ("u2", dt.datetime(2023, 1, 1, 0), 7),
+    ]
+    sch = "url string, warc_ts timestamp, text_length long"
+    spark.createDataFrame(obs1, sch).write.mode("append").parquet(inp)
+    _run_changes(spark, inp, outp, ckpt)
+    got1 = spark.read.parquet(outp)
+    assert got1.count() == 3  # u1 first-seen, u1 change, u2 first-seen
+
+    # batch 2: state must carry across restarts — u1 repeating 15 is NOT a
+    # change; u2 changing is; a brand-new url is first-seen
+    obs2 = [
+        ("u1", dt.datetime(2023, 1, 2, 0), 15),   # same as state -> no event
+        ("u2", dt.datetime(2023, 1, 2, 0), 9),    # change
+        ("u3", dt.datetime(2023, 1, 2, 0), 3),    # first seen
+    ]
+    spark.createDataFrame(obs2, sch).write.mode("append").parquet(inp)
+    _run_changes(spark, inp, outp, ckpt)
+    got2 = spark.read.parquet(outp)
+    assert got2.count() == 5
+
+    # cross-check: streamed events == batch lag-window twin over all input
+    from mintpy_spark.streaming.change_detect import batch_change_events
+
+    batch = batch_change_events(spark.read.parquet(inp))
+    s = {tuple(r) for r in got2.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    # delta semantics
+    deltas = {(r.url, r.delta) for r in got2.collect()}
+    assert ("u1", 5) in deltas and ("u2", 2) in deltas
+    assert ("u3", None) in deltas
