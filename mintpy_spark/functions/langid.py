@@ -75,13 +75,18 @@ def classify(
     prof = F.broadcast(
         spark.createDataFrame(profile_rows(), "tri string, lang string, w int")
     )
-    # substring(col, i, 3) with a lambda-bound start index needs expr form
+    # Stage the lowered prefix as ITS OWN projected column first: referenced
+    # inside the transform lambda as a raw expression it would re-lower the
+    # 600-char prefix once per trigram (~600x wasted work per doc); as an
+    # attribute behind a projection boundary it is computed once per row.
     docs_t = docs.select(
         id_col,
+        F.lower(F.substring(F.col(text_col), 1, prefix_chars)).alias("_head"),
+    ).select(
+        id_col,
         F.expr(
-            f"transform(sequence(1, greatest(length(lower(substring({text_col}, 1, "
-            f"{prefix_chars}))) - 2, 0)), "
-            f"i -> substring(lower(substring({text_col}, 1, {prefix_chars})), i, 3))"
+            "transform(sequence(1, greatest(length(_head) - 2, 0)), "
+            "i -> substring(_head, i, 3))"
         ).alias("tris"),
     )
     scored = (
