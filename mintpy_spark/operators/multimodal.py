@@ -29,20 +29,39 @@ MEDIA_META_SCHEMA = (
     "sample_rate int, duration_ms bigint"
 )
 
-_MAGIC = {
-    b"\x89PNG": "image/png",
-    b"\xff\xd8\xff": "image/jpeg",
-    b"RIFF": "audio/wav",
-    b"\x1aE\xdf\xa3": "video/webm",
-}
+# (offset, magic) -> media type; checked in declaration order, longest
+# match semantics preserved by listing more specific patterns first.
+_MAGIC: list[tuple[int, bytes, str]] = [
+    (0, b"\x89PNG\r\n\x1a\n", "image/png"),
+    (0, b"\xff\xd8\xff", "image/jpeg"),
+    (0, b"GIF87a", "image/gif"),
+    (0, b"GIF89a", "image/gif"),
+    (0, b"BM", "image/bmp"),
+    (0, b"RIFF", "audio/wav"),  # refined to webp below via bytes 8..12
+    (0, b"\x1aE\xdf\xa3", "video/webm"),
+    (4, b"ftyp", "video/mp4"),
+    (0, b"ID3", "audio/mpeg"),
+    (0, b"\xff\xfb", "audio/mpeg"),
+    (0, b"OggS", "audio/ogg"),
+    (0, b"fLaC", "audio/flac"),
+    (0, b"\x1f\x8b", "application/gzip"),
+    (0, b"PK\x03\x04", "application/zip"),
+    (0, b"%PDF", "application/pdf"),
+]
 
 
 def sniff_media_type(payload: bytes) -> str:
-    """Magic-byte format sniffing (readfile.py-style format dispatch)."""
+    """Magic-byte format sniffing — the readfile.py-style format dispatch
+    (reference utils/readfile.py:559-2110 dispatches on leading bytes /
+    extensions; here the container formats a crawl actually carries).
+    Supports offset patterns (MP4's ftyp at byte 4) and the RIFF family
+    split (WAV vs WebP share the RIFF preamble, differ at bytes 8..12)."""
     if payload is None:
         return "unknown"
-    for magic, mtype in _MAGIC.items():
-        if payload[: len(magic)] == magic:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "image/webp"
+    for off, magic, mtype in _MAGIC:
+        if payload[off : off + len(magic)] == magic:
             return mtype
     return "application/octet-stream"
 

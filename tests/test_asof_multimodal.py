@@ -50,7 +50,12 @@ def test_asof_join_semantics(spark):
 
 
 def test_sniff_media_type():
-    assert sniff_media_type(b"\x89PNGxxxx") == "image/png"
+    assert sniff_media_type(b"\x89PNG\r\n\x1a\nxxxx") == "image/png"
+    assert sniff_media_type(b"GIF89a...") == "image/gif"
+    assert sniff_media_type(b"\x00\x00\x00\x18ftypisom") == "video/mp4"
+    assert sniff_media_type(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
+    assert sniff_media_type(b"%PDF-1.7") == "application/pdf"
+    assert sniff_media_type(b"ID3\x04") == "audio/mpeg"
     assert sniff_media_type(b"\xff\xd8\xff\xe0") == "image/jpeg"
     assert sniff_media_type(b"RIFF....WAVE") == "audio/wav"
     assert sniff_media_type(b"whatever") == "application/octet-stream"
@@ -59,7 +64,7 @@ def test_sniff_media_type():
 @pytest.fixture(scope="module")
 def media_df(spark):
     rows = [
-        (1, b"\x89PNG" + b"\x00" * 32),
+        (1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 32),
         (2, b"\xff\xd8\xff" + b"\x01" * 32),
         (3, b"RIFF" + b"\x02" * 32),
     ]
