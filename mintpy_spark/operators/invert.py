@@ -1,0 +1,107 @@
+"""Network least-squares inversion — the SBAS solve itself.
+
+Reference: ``estimate_timeseries`` (src/mintpy/ifgram_inversion.py:91-227),
+the reference's flagship routine: a redundant network of pairwise
+differences (interferograms there; snapshot deltas here) is inverted per
+pixel into the time series at the observation dates, relative to the first
+date. Design matrix A (num_pairs x num_dates) has -1 at the pair's start
+date and +1 at its end date (objects/stack.py:250-280
+``get_design_matrix4timeseries``); the first-date column is dropped (the
+temporal reference), and the system is solved by (optionally weighted)
+lstsq. Inversion quality is the temporal coherence of the residuals
+(ifgram_inversion.py:291-363 ``calc_inv_quality``).
+
+Spark recast: the unit of work is one key's pair network inside
+``applyInPandas`` (one Arrow batch per key, numpy lstsq — the same
+per-pixel math, keys in place of pixels). The gap-fill operator
+(operators/gapfill.py) remains the degenerate-network fast path (a chain
+network inverts to cumulative sums — pure window functions, no solver);
+this operator handles the REDUNDANT network (connection level > 1, missing
+pairs, weights) where the LS solve genuinely matters.
+
+Consistency property used by the driver oracle: when the network is
+consistent (every delta equals the true series difference — e.g. pairs
+generated from the series itself), the LS solution reproduces
+``series - series[first]`` exactly, so the SQL twin is the
+first_value-referenced series. With noise or dropped pairs it is the
+minimum-norm reconciliation, verified by pytest against numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def network_invert(
+    pairs: DataFrame,
+    key: str = "url",
+    ts1: str = "ts1",
+    ts2: str = "ts2",
+    delta_col: str = "delta",
+    weight_col: str | None = None,
+    min_redundancy: int = 1,
+) -> DataFrame:
+    """Per-key network LS inversion.
+
+    Input: pair rows (key, ts1, ts2, delta[, weight]).
+    Output: (key, ts, value, num_pairs, num_dates, coherence) — one row per
+    date in the key's network, value relative to the key's first date
+    (value = 0.0 there), coherence = |sum exp(i * resid)| / num_pairs over
+    the pair residuals (1.0 for a consistent network).
+
+    Dates touched by fewer than ``min_redundancy`` pairs make the system
+    rank-deficient; lstsq still returns the minimum-norm solution, and the
+    reported coherence exposes the weak network (the reference masks by
+    the same quality channel, ifgram_inversion.py:291-363).
+    """
+    schema = T.StructType(
+        [
+            T.StructField(key, pairs.schema[key].dataType),
+            T.StructField("ts", pairs.schema[ts1].dataType),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("num_pairs", T.LongType()),
+            T.StructField("num_dates", T.LongType()),
+            T.StructField("coherence", T.DoubleType()),
+        ]
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf[key].iloc[0]
+        dates = np.unique(
+            np.concatenate([pdf[ts1].to_numpy(), pdf[ts2].to_numpy()])
+        )
+        idx = {d: i for i, d in enumerate(dates)}
+        n_pairs, n_dates = len(pdf), len(dates)
+        A = np.zeros((n_pairs, n_dates), dtype=np.float64)
+        rows = np.arange(n_pairs)
+        # index through the numpy datetime64 values (iterating the pandas
+        # column yields pd.Timestamp objects that don't hash-match them)
+        A[rows, [idx[d] for d in pdf[ts1].to_numpy()]] = -1.0
+        A[rows, [idx[d] for d in pdf[ts2].to_numpy()]] = 1.0
+        A = A[:, 1:]  # drop the reference (first-date) column
+        d = pdf[delta_col].to_numpy(dtype=np.float64)
+        if weight_col is not None:
+            ws = np.sqrt(pdf[weight_col].to_numpy(dtype=np.float64))
+            m = np.linalg.lstsq(A * ws[:, None], d * ws, rcond=None)[0]
+        else:
+            m = np.linalg.lstsq(A, d, rcond=None)[0]
+        resid = d - A @ m
+        coh = float(np.abs(np.exp(1j * resid).sum()) / n_pairs)
+        values = np.concatenate([[0.0], m])
+        return pd.DataFrame(
+            {
+                key: [k] * n_dates,
+                "ts": list(dates),
+                "value": values,
+                "num_pairs": [n_pairs] * n_dates,
+                "num_dates": [n_dates] * n_dates,
+                "coherence": [coh] * n_dates,
+            }
+        )
+
+    cols = [key, ts1, ts2, delta_col] + ([weight_col] if weight_col else [])
+    return pairs.select(*cols).groupBy(key).applyInPandas(solve, schema)

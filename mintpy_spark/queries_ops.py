@@ -520,3 +520,36 @@ def lut_remap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
         )
     )
+
+
+@_q(
+    "network_inversion",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT e.user_id, e.ts,
+           ROUND(e.value - first_value(e.value)
+                   OVER (PARTITION BY e.user_id ORDER BY e.ts), 4) AS value,
+           c.n AS num_dates
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE c.n >= 2
+    """,
+)
+def network_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SBAS network inversion end-to-end (ifgram_inversion.py:91-227): a
+    redundant connection-2 pair network generated from the series is
+    LS-inverted per key back into the series. The oracle exploits the
+    consistency property: on a consistent network the minimum-norm LS
+    solution IS the first-date-referenced series — so the solver is
+    checked against an independent closed form, not against itself."""
+    from mintpy_spark.operators.diff import pair_deltas
+    from mintpy_spark.operators.invert import network_invert
+
+    ev = load(spark, sf_dir, "events")
+    pairs = pair_deltas(ev, "value", max_lag=2, key="user_id", ts="ts")
+    out = network_invert(pairs, key="user_id", ts1="ts1", ts2="ts2")
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.col("num_dates").cast("long").alias("num_dates"),
+    )

@@ -1,0 +1,96 @@
+"""Network LS inversion vs NumPy oracles (reference estimate_timeseries,
+ifgram_inversion.py:91-227 — simulate-network-then-invert, the reference's
+own test pattern)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mintpy_spark.operators.invert import network_invert
+
+
+def _network(rng, n_dates=12, lags=(1, 2, 3), noise=0.0, drop=0):
+    dates = pd.date_range("2024-01-01", periods=n_dates, freq="7D")
+    series = np.cumsum(rng.normal(0, 2.0, n_dates))
+    series -= series[0]
+    rows = []
+    for lag in lags:
+        for i in range(n_dates - lag):
+            d = series[i + lag] - series[i] + rng.normal(0, noise)
+            rows.append((dates[i], dates[i + lag], d))
+    pdf = pd.DataFrame(rows, columns=["ts1", "ts2", "delta"])
+    if drop:
+        pdf = pdf.sample(len(pdf) - drop, random_state=1).reset_index(drop=True)
+    return dates, series, pdf
+
+
+def _numpy_solve(dates, pdf, w=None):
+    idx = {d: i for i, d in enumerate(dates)}
+    A = np.zeros((len(pdf), len(dates)))
+    r = np.arange(len(pdf))
+    A[r, [idx[d] for d in pdf["ts1"]]] = -1.0
+    A[r, [idx[d] for d in pdf["ts2"]]] = 1.0
+    A = A[:, 1:]
+    d = pdf["delta"].to_numpy()
+    if w is not None:
+        ws = np.sqrt(w)
+        return np.linalg.lstsq(A * ws[:, None], d * ws, rcond=None)[0]
+    return np.linalg.lstsq(A, d, rcond=None)[0]
+
+
+def test_consistent_network_recovers_series_exactly(spark):
+    rng = np.random.default_rng(2)
+    dates, series, pdf = _network(rng, noise=0.0)
+    pdf["url"] = "u0"
+    out = (
+        network_invert(spark.createDataFrame(pdf))
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert np.allclose(out["value"], series, atol=1e-9)
+    assert (out["coherence"] > 0.999999).all()
+    assert out["num_dates"].iloc[0] == len(dates)
+
+
+def test_noisy_dropped_network_matches_numpy_lstsq(spark):
+    rng = np.random.default_rng(3)
+    dates, _series, pdf = _network(rng, noise=0.5, drop=5)
+    pdf["url"] = "u0"
+    expect = np.concatenate([[0.0], _numpy_solve(dates, pdf)])
+    out = network_invert(spark.createDataFrame(pdf)).orderBy("ts").toPandas()
+    assert np.allclose(out["value"], expect, atol=1e-9)
+    assert (out["coherence"] < 1.0).all()  # residuals exist
+
+
+def test_weighted_inversion_matches_numpy(spark):
+    rng = np.random.default_rng(4)
+    dates, _series, pdf = _network(rng, noise=1.0)
+    pdf["url"] = "u0"
+    pdf["w"] = rng.uniform(0.2, 4.0, len(pdf))
+    expect = np.concatenate(
+        [[0.0], _numpy_solve(dates, pdf, w=pdf["w"].to_numpy())]
+    )
+    out = (
+        network_invert(spark.createDataFrame(pdf), weight_col="w")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert np.allclose(out["value"], expect, atol=1e-9)
+
+
+def test_multiple_keys_independent(spark):
+    rng = np.random.default_rng(5)
+    frames = []
+    truths = {}
+    for k in range(4):
+        dates, series, pdf = _network(rng, n_dates=8, noise=0.0)
+        pdf["url"] = f"u{k}"
+        truths[f"u{k}"] = series
+        frames.append(pdf)
+    allp = pd.concat(frames, ignore_index=True)
+    out = network_invert(spark.createDataFrame(allp)).toPandas()
+    for k, series in truths.items():
+        got = out[out["url"] == k].sort_values("ts")["value"].to_numpy()
+        assert np.allclose(got, series, atol=1e-9)
