@@ -43,31 +43,41 @@ def network_invert(
     ts2: str = "ts2",
     delta_col: str = "delta",
     weight_col: str | None = None,
+    sigma_col: str | None = None,
     min_redundancy: int = 1,
 ) -> DataFrame:
     """Per-key network LS inversion.
 
-    Input: pair rows (key, ts1, ts2, delta[, weight]).
-    Output: (key, ts, value, num_pairs, num_dates, coherence) — one row per
-    date in the key's network, value relative to the key's first date
-    (value = 0.0 there), coherence = |sum exp(i * resid)| / num_pairs over
-    the pair residuals (1.0 for a consistent network).
+    Input: pair rows (key, ts1, ts2, delta[, weight][, sigma]).
+    Output: (key, ts, value[, value_std], num_pairs, num_dates, coherence)
+    — one row per date in the key's network, value relative to the key's
+    first date (value = 0.0 there), coherence = |sum exp(i * resid)| /
+    num_pairs over the pair residuals (1.0 for a consistent network).
+
+    ``sigma_col``: per-pair observation std — propagated through the
+    pseudo-inverse exactly as the reference's ``estimate_timeseries_cov``
+    (ifgram_inversion.py:230-265): ``ts_cov = Aplus diag(sigma^2) Aplus'``,
+    ``value_std = sqrt(diag)`` (0.0 at the reference date). With weights,
+    propagation runs through the weighted estimator.
 
     Dates touched by fewer than ``min_redundancy`` pairs make the system
     rank-deficient; lstsq still returns the minimum-norm solution, and the
     reported coherence exposes the weak network (the reference masks by
     the same quality channel, ifgram_inversion.py:291-363).
     """
-    schema = T.StructType(
-        [
-            T.StructField(key, pairs.schema[key].dataType),
-            T.StructField("ts", pairs.schema[ts1].dataType),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("num_pairs", T.LongType()),
-            T.StructField("num_dates", T.LongType()),
-            T.StructField("coherence", T.DoubleType()),
-        ]
-    )
+    fields = [
+        T.StructField(key, pairs.schema[key].dataType),
+        T.StructField("ts", pairs.schema[ts1].dataType),
+        T.StructField("value", T.DoubleType()),
+    ]
+    if sigma_col is not None:
+        fields.append(T.StructField("value_std", T.DoubleType()))
+    fields += [
+        T.StructField("num_pairs", T.LongType()),
+        T.StructField("num_dates", T.LongType()),
+        T.StructField("coherence", T.DoubleType()),
+    ]
+    schema = T.StructType(fields)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         k = pdf[key].iloc[0]
@@ -84,24 +94,34 @@ def network_invert(
         A[rows, [idx[d] for d in pdf[ts2].to_numpy()]] = 1.0
         A = A[:, 1:]  # drop the reference (first-date) column
         d = pdf[delta_col].to_numpy(dtype=np.float64)
+        ws = None
         if weight_col is not None:
             ws = np.sqrt(pdf[weight_col].to_numpy(dtype=np.float64))
-            m = np.linalg.lstsq(A * ws[:, None], d * ws, rcond=None)[0]
-        else:
-            m = np.linalg.lstsq(A, d, rcond=None)[0]
+        Aw = A if ws is None else A * ws[:, None]
+        dw = d if ws is None else d * ws
+        m = np.linalg.lstsq(Aw, dw, rcond=None)[0]
         resid = d - A @ m
         coh = float(np.abs(np.exp(1j * resid).sum()) / n_pairs)
         values = np.concatenate([[0.0], m])
-        return pd.DataFrame(
-            {
-                key: [k] * n_dates,
-                "ts": list(dates),
-                "value": values,
-                "num_pairs": [n_pairs] * n_dates,
-                "num_dates": [n_dates] * n_dates,
-                "coherence": [coh] * n_dates,
-            }
-        )
+        out = {
+            key: [k] * n_dates,
+            "ts": list(dates),
+            "value": values,
+        }
+        if sigma_col is not None:
+            # estimate_timeseries_cov (ifgram_inversion.py:230-265):
+            # Aplus diag(sigma^2) Aplus' over the (weighted) system
+            s = pdf[sigma_col].to_numpy(dtype=np.float64)
+            s = s if ws is None else s * ws
+            Aplus = np.linalg.pinv(Aw)
+            cov = (Aplus * np.square(s)[None, :]) @ Aplus.T
+            out["value_std"] = np.concatenate([[0.0], np.sqrt(np.diag(cov))])
+        out["num_pairs"] = [n_pairs] * n_dates
+        out["num_dates"] = [n_dates] * n_dates
+        out["coherence"] = [coh] * n_dates
+        return pd.DataFrame(out)
 
     cols = [key, ts1, ts2, delta_col] + ([weight_col] if weight_col else [])
+    if sigma_col is not None and sigma_col not in cols:
+        cols.append(sigma_col)
     return pairs.select(*cols).groupBy(key).applyInPandas(solve, schema)

@@ -553,3 +553,41 @@ def network_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.col("num_dates").cast("long").alias("num_dates"),
     )
+
+
+@_q(
+    "network_inversion_weighted",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT e.user_id, e.ts,
+           ROUND(e.value - first_value(e.value)
+                   OVER (PARTITION BY e.user_id ORDER BY e.ts), 4) AS value,
+           ROUND(1.0, 4) AS coherence
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE c.n >= 2
+    """,
+)
+def network_inversion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted network inversion with the coherence->Fisher weight chain
+    (decorrelation.py weights feeding ifgram_inversion WLS): per-pair
+    pseudo-coherence -> Fisher weights -> WLS solve. On a CONSISTENT
+    network any positive weighting must still reproduce the referenced
+    series with coherence 1.0 — the oracle checks exactly that invariance,
+    so a weighting bug (e.g. mis-indexed weights) breaks the hash."""
+    from mintpy_spark.functions.weights import coherence2weight
+    from mintpy_spark.operators.diff import pair_deltas
+    from mintpy_spark.operators.invert import network_invert
+
+    ev = load(spark, sf_dir, "events")
+    pairs = pair_deltas(ev, "value", max_lag=2, key="user_id", ts="ts")
+    pseudo_coh = (F.abs(F.hash("ts1", "ts2")) % 90 + 5) / 100.0  # (0.05, 0.95)
+    pairs = pairs.withColumn(
+        "w", coherence2weight(pseudo_coh, weight_func="fisher", L=20)
+    )
+    out = network_invert(pairs, key="user_id", ts1="ts1", ts2="ts2", weight_col="w")
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.round("coherence", 4).alias("coherence"),
+    )

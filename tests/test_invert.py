@@ -94,3 +94,27 @@ def test_multiple_keys_independent(spark):
     for k, series in truths.items():
         got = out[out["url"] == k].sort_values("ts")["value"].to_numpy()
         assert np.allclose(got, series, atol=1e-9)
+
+
+def test_sigma_propagation_matches_numpy(spark):
+    """value_std == sqrt(diag(Aplus diag(s^2) Aplus')) — the reference's
+    estimate_timeseries_cov (ifgram_inversion.py:230-265)."""
+    rng = np.random.default_rng(6)
+    dates, _series, pdf = _network(rng, noise=0.3)
+    pdf["url"] = "u0"
+    pdf["sig"] = rng.uniform(0.1, 2.0, len(pdf))
+    idx = {d: i for i, d in enumerate(dates)}
+    A = np.zeros((len(pdf), len(dates)))
+    r = np.arange(len(pdf))
+    A[r, [idx[d] for d in pdf["ts1"]]] = -1.0
+    A[r, [idx[d] for d in pdf["ts2"]]] = 1.0
+    A = A[:, 1:]
+    Aplus = np.linalg.pinv(A)
+    cov = Aplus @ np.diag(pdf["sig"].to_numpy() ** 2) @ Aplus.T
+    expect = np.concatenate([[0.0], np.sqrt(np.diag(cov))])
+    out = (
+        network_invert(spark.createDataFrame(pdf), sigma_col="sig")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert np.allclose(out["value_std"], expect, atol=1e-9)
