@@ -59,20 +59,25 @@ def pair_deltas(
     sequential-network of connection level n, stack.py:1113-1143). Built
     with lead() windows: no self-join, one shuffle on key.
     """
+    # ONE window pass computes every lead, then stack() unpivots to long
+    # format — a union of per-lag subplans would scan and shuffle the fact
+    # table once per connection level; this does it once total.
     w = Window.partitionBy(key).orderBy(ts)
-    frames = []
-    for lag in range(1, max_lag + 1):
-        frames.append(
-            obs.select(
-                key,
-                F.col(ts).alias("ts1"),
-                F.lead(ts, lag).over(w).alias("ts2"),
-                (F.lead(value_col, lag).over(w) - F.col(value_col)).alias("delta"),
-            ).where(F.col("ts2").isNotNull())
-        )
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
+    leads = obs.select(
+        key,
+        F.col(ts).alias("ts1"),
+        *[F.lead(ts, lag).over(w).alias(f"_t{lag}") for lag in range(1, max_lag + 1)],
+        *[
+            (F.lead(value_col, lag).over(w) - F.col(value_col)).alias(f"_d{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    stack_expr = f"stack({max_lag}, " + ", ".join(
+        f"_t{lag}, _d{lag}" for lag in range(1, max_lag + 1)
+    ) + ") as (ts2, delta)"
+    out = leads.select(key, "ts1", F.expr(stack_expr)).where(
+        F.col("ts2").isNotNull()
+    )
     return out.withColumn(
         "tbase_days",
         (
