@@ -84,9 +84,14 @@ def classify(
         F.lower(F.substring(F.col(text_col), 1, prefix_chars)).alias("_head"),
     ).select(
         id_col,
+        # guard length < 3 explicitly: Spark's sequence(1, 0) yields a
+        # DESCENDING [1, 0] (DuckDB's generate_series yields empty), which
+        # would emit sub-trigram fragments on short/null texts
         F.expr(
-            "transform(sequence(1, greatest(length(_head) - 2, 0)), "
-            "i -> substring(_head, i, 3))"
+            "CASE WHEN length(_head) >= 3 THEN "
+            "transform(sequence(1, length(_head) - 2), "
+            "i -> substring(_head, i, 3)) "
+            "ELSE array() END"
         ).alias("tris"),
     )
     scored = (
