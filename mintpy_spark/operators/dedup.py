@@ -35,7 +35,10 @@ HASH_P = 1_000_000_007
 # near-dup operators many times in one session; an unbounded persist per
 # invocation would pin a cached table each time. Persisting through this
 # slot releases the previous invocation's table first, capping session
-# cache growth at one signature table.
+# cache growth at one signature table. Known trade-off: a DataFrame built
+# by an EARLIER near-dup call and executed only after a LATER call loses
+# its cached signatures and recomputes them — correct, just slower; build
+# and materialize each near-dup result before starting the next.
 _SIG_SLOT: list = []
 
 
@@ -340,16 +343,15 @@ def embedding_near_dups_bucketed(
     from mintpy_spark.operators.similarity import hyperplane_bucket
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # precompute each row's norm BEFORE the self-join: computed per pair it
+    # would cost an extra O(dim) fold on both sides of every candidate
     d = emb.select(
         id_col,
         v.alias("v"),
         hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a, b = d.alias("ea"), d.alias("eb")
-    cos = _dot(F.col("ea.v"), F.col("eb.v")) / (
-        F.sqrt(_dot(F.col("ea.v"), F.col("ea.v")))
-        * F.sqrt(_dot(F.col("eb.v"), F.col("eb.v")))
-    )
+    cos = _dot(F.col("ea.v"), F.col("eb.v")) / (F.col("ea.nrm") * F.col("eb.nrm"))
     return (
         a.join(
             b,

@@ -60,10 +60,14 @@ def network_invert(
     ``value_std = sqrt(diag)`` (0.0 at the reference date). With weights,
     propagation runs through the weighted estimator.
 
-    Dates touched by fewer than ``min_redundancy`` pairs make the system
-    rank-deficient; lstsq still returns the minimum-norm solution, and the
-    reported coherence exposes the weak network (the reference masks by
-    the same quality channel, ifgram_inversion.py:291-363).
+    NULL/NaN deltas are dropped pair-wise (the reference's
+    ``skip_invalid_obs``, ifgram_inversion.py:70-88) — one bad pair must
+    not poison the key. If the surviving network's weakest date is touched
+    by fewer than ``min_redundancy`` pairs, the key emits NULL values
+    (the reference skips the calculation below the redundancy threshold,
+    ifgram_inversion.py:246-248); lstsq still handles mere
+    rank-deficiency above the threshold via the minimum-norm solution,
+    exposed by the coherence channel (ifgram_inversion.py:291-363).
     """
     fields = [
         T.StructField(key, pairs.schema[key].dataType),
@@ -81,6 +85,10 @@ def network_invert(
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         k = pdf[key].iloc[0]
+        # skip_invalid_obs (ifgram_inversion.py:70-88): drop NaN pairs
+        pdf = pdf[pdf[delta_col].notna()]
+        if len(pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
         dates = np.unique(
             np.concatenate([pdf[ts1].to_numpy(), pdf[ts2].to_numpy()])
         )
@@ -93,6 +101,24 @@ def network_invert(
         A[rows, [idx[d] for d in pdf[ts1].to_numpy()]] = -1.0
         A[rows, [idx[d] for d in pdf[ts2].to_numpy()]] = 1.0
         A = A[:, 1:]  # drop the reference (first-date) column
+        # redundancy check (ifgram_inversion.py:246-248): weakest date's
+        # pair count below threshold -> no-data output for the key
+        if A.shape[1] == 0 or int(np.min(np.sum(A != 0.0, axis=0))) < min_redundancy:
+            return pd.DataFrame(
+                {
+                    key: [k] * n_dates,
+                    "ts": list(dates),
+                    "value": [np.nan] * n_dates,
+                    **(
+                        {"value_std": [np.nan] * n_dates}
+                        if sigma_col is not None
+                        else {}
+                    ),
+                    "num_pairs": [n_pairs] * n_dates,
+                    "num_dates": [n_dates] * n_dates,
+                    "coherence": [0.0] * n_dates,
+                }
+            )
         d = pdf[delta_col].to_numpy(dtype=np.float64)
         ws = None
         if weight_col is not None:

@@ -58,8 +58,11 @@ def sniff_media_type(payload: bytes) -> str:
     split (WAV vs WebP share the RIFF preamble, differ at bytes 8..12)."""
     if payload is None:
         return "unknown"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        return "image/webp"
+    if payload[:4] == b"RIFF":
+        if payload[8:12] == b"WEBP":
+            return "image/webp"
+        if payload[8:12] == b"AVI ":
+            return "video/avi"
     for off, magic, mtype in _MAGIC:
         if payload[off : off + len(magic)] == magic:
             return mtype

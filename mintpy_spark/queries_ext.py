@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mintpy_spark.functions.langid import classify_oracle_sql
 from mintpy_spark.queries import _q, load
 
 
@@ -450,7 +451,7 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "text_langid_ngram",
-    __import__("mintpy_spark.functions.langid", fromlist=["x"]).classify_oracle_sql(),
+    classify_oracle_sql(),
 )
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram profile language ID (Cavnar & Trenkle 1994):

@@ -264,7 +264,10 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials (count/sum/min/max) are salted."""
     from mintpy_spark.operators.partitioning import salted_agg
 
-    ev = load(spark, sf_dir, "events")
+    # pre-project to the hashed/aggregated columns: salted_agg full-row
+    # hashes its input, so an unprojected table would drag every column
+    # (incl. the props JSON) through the scan just to salt the shard
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
     out = salted_agg(
         ev,
         "event_type",
@@ -580,7 +583,8 @@ def network_inversion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     pairs = pair_deltas(ev, "value", max_lag=2, key="user_id", ts="ts")
-    pseudo_coh = (F.abs(F.hash("ts1", "ts2")) % 90 + 5) / 100.0  # (0.05, 0.95)
+    # pmod, NOT abs(hash)%90: abs(Integer.MIN_VALUE) throws under ANSI mode
+    pseudo_coh = (F.pmod(F.hash("ts1", "ts2"), F.lit(90)) + 5) / 100.0  # (0.05, 0.95)
     pairs = pairs.withColumn(
         "w", coherence2weight(pseudo_coh, weight_func="fisher", L=20)
     )

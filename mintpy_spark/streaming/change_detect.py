@@ -61,8 +61,13 @@ def _detect(
 ) -> Iterator[pd.DataFrame]:
     last_ts, last_len = state.get if state.exists else (None, None)
     out: list[tuple[Any, ...]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("warc_ts")
+    # materialize ALL Arrow chunks and sort ONCE: a group larger than the
+    # Arrow batch size arrives as several chunks in arbitrary shuffle
+    # order, and per-chunk sorting would let the <= last_ts skip silently
+    # drop events from a later-sorted earlier chunk
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("warc_ts")
         for ts, ln in zip(pdf["warc_ts"], pdf["text_length"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
             if last_ts is not None and ts_us <= last_ts:

@@ -102,3 +102,9 @@ def test_extract_features_unit_norm(media_df):
         assert len(r.features) == 16
         norm = sum(x * x for x in r.features) ** 0.5
         assert abs(norm - 1.0) < 1e-5
+
+
+def test_riff_family_split():
+    assert sniff_media_type(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio/wav"
+    assert sniff_media_type(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
+    assert sniff_media_type(b"RIFF\x24\x00\x00\x00AVI LIST") == "video/avi"

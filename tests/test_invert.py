@@ -118,3 +118,36 @@ def test_sigma_propagation_matches_numpy(spark):
         .toPandas()
     )
     assert np.allclose(out["value_std"], expect, atol=1e-9)
+
+
+def test_null_delta_dropped_not_poisoning(spark):
+    """One NULL pair must be skipped (skip_invalid_obs), not NaN the key."""
+    rng = np.random.default_rng(7)
+    dates, series, pdf = _network(rng, n_dates=8, noise=0.0)
+    pdf["url"] = "u0"
+    pdf.loc[2, "delta"] = None
+    out = network_invert(spark.createDataFrame(pdf)).orderBy("ts").toPandas()
+    assert not out["value"].isna().any()
+    # lag-1..3 network stays connected after one drop -> still exact
+    assert np.allclose(out["value"], series, atol=1e-9)
+
+
+def test_min_redundancy_masks_weak_network(spark):
+    """A chain network (1 pair per interval) fails min_redundancy=2 and
+    emits NULL values with coherence 0 (the reference's skip path)."""
+    rng = np.random.default_rng(8)
+    _dates, _series, pdf = _network(rng, n_dates=6, lags=(1,), noise=0.0)
+    pdf["url"] = "u0"
+    out = network_invert(
+        spark.createDataFrame(pdf), min_redundancy=2
+    ).toPandas()
+    assert out["value"].isna().all()
+    assert (out["coherence"] == 0.0).all()
+    # the redundant (lags 1-3) network passes the same threshold
+    _d2, series2, pdf2 = _network(rng, n_dates=6, noise=0.0)
+    pdf2["url"] = "u0"
+    out2 = (
+        network_invert(spark.createDataFrame(pdf2), min_redundancy=2)
+        .orderBy("ts").toPandas()
+    )
+    assert np.allclose(out2["value"], series2, atol=1e-9)

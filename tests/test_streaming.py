@@ -135,3 +135,25 @@ def test_stateful_change_detector_matches_batch_twin(spark, paths):
     deltas = {(r.url, r.delta) for r in got2.collect()}
     assert ("u1", 5) in deltas and ("u2", 2) in deltas
     assert ("u3", None) in deltas
+
+
+def test_change_detector_survives_multi_chunk_groups(spark, paths):
+    """A group larger than the Arrow batch arrives as several chunks in
+    arbitrary order; the fold must concat+sort once, not per chunk."""
+    inp, outp, ckpt = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    rows = [
+        ("u1", dt.datetime(2023, 1, 1, h), 10 + (h % 3)) for h in range(24)
+    ]
+    spark.createDataFrame(rows, sch).write.mode("append").parquet(inp)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        _run_changes(spark, inp, outp, ckpt)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    from mintpy_spark.streaming.change_detect import batch_change_events
+
+    got = {tuple(r) for r in spark.read.parquet(outp).collect()}
+    expect = {tuple(r) for r in batch_change_events(spark.read.parquet(inp)).collect()}
+    assert got == expect and len(got) == 24  # value changes every hour
