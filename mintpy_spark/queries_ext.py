@@ -462,3 +462,67 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return classify(d)
+
+
+@_q(
+    "text_top_tokens",
+    """
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY cnt DESC, tok ASC
+    LIMIT 25
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: token frequency top-k with deterministic
+    tie-break — explode + partial/final count + TakeOrdered; the shape of
+    every vocabulary/stopword pass a data pipeline runs."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    return (
+        d.select(toks)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(25)
+    )
+
+
+@_q(
+    "event_value_histogram",
+    """
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 100.0 THEN 21
+                ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(MIN(value), 2) AS vmin,
+           ROUND(MAX(value), 2) AS vmax
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (the distribution profile behind the
+    reference's info/stats displays): width_bucket(0, 100, 20) semantics
+    as a floor expression, identical in both engines — under/overflow land
+    in buckets 0 and 21."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= 100.0, F.lit(21))
+        .otherwise(F.floor(v / 5.0) + 1)
+        .cast("long")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+        )
+    )
