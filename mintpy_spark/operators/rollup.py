@@ -93,3 +93,46 @@ def build_tiers(
         prev = rollup_from_obs(obs, value_col, t, key=key, ts=ts) if prev is None else cascade(prev, t, key=key)
         out[t] = prev
     return out
+
+
+def merge_tier_delta(
+    stored: DataFrame,
+    delta_obs: DataFrame,
+    value_col: str,
+    tier: str = "1h",
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Continuous-aggregate refresh: fold LATE/NEW observations into a
+    stored tier WITHOUT re-reading raw history.
+
+    Because the tier stores decomposable partials, late data folds in by
+    aggregating only the delta and full-outer-merging partial-wise:
+    cnt/vsum add, vmin/vmax combine. Cost scales with the DELTA (plus the
+    touched tier cells), not with the corpus — this is the batch twin of
+    the streaming watermark path (streaming/rollup_stream.py) and the
+    TimescaleDB-style continuous-aggregate refresh the north rule asks
+    for. The reference's analog is update-mode re-running over grown
+    inputs (utils/utils1.py:691 run_or_skip) — which recomputes the whole
+    step; partial-wise merging is what makes the recast incremental.
+
+    Exactness: cnt/min/max exact; vsum regroups the float addition tree —
+    within 1 ulp of a full recompute (same bound as cascade()).
+    """
+    d = rollup_from_obs(delta_obs, value_col, tier, key=key, ts=ts)
+    s = stored.select(key, "bucket_start", *[F.col(c).alias(f"_s_{c}") for c in PARTIAL_COLS])
+    dd = d.select(key, "bucket_start", *[F.col(c).alias(f"_d_{c}") for c in PARTIAL_COLS])
+    j = s.join(dd, [key, "bucket_start"], "full")
+    zero = F.lit(0)
+    return j.select(
+        key,
+        "bucket_start",
+        (F.coalesce("_s_cnt", zero) + F.coalesce("_d_cnt", zero)).alias("cnt"),
+        (F.coalesce("_s_vsum", F.lit(0.0)) + F.coalesce("_d_vsum", F.lit(0.0))).alias("vsum"),
+        F.least(
+            F.coalesce("_s_vmin", F.col("_d_vmin")), F.coalesce("_d_vmin", F.col("_s_vmin"))
+        ).alias("vmin"),
+        F.greatest(
+            F.coalesce("_s_vmax", F.col("_d_vmax")), F.coalesce("_d_vmax", F.col("_s_vmax"))
+        ).alias("vmax"),
+    )

@@ -386,3 +386,36 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     _ensure_ext()
     return dict(_ORACLES)
+
+
+@_q(
+    "tier_merge_late",
+    """
+    SELECT user_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(value)         AS cnt,
+           ROUND(SUM(value), 2) AS vsum,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tier_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate late-data refresh: the 1h tier is built from
+    the FIRST 20 days only, then the remaining (late) observations are
+    folded in partial-wise via merge_tier_delta — cost proportional to
+    the delta, no raw-history re-read. The oracle is the direct full
+    aggregation: the merged tier must be indistinguishable from a
+    from-scratch build."""
+    from mintpy_spark.operators.rollup import merge_tier_delta, rollup_from_obs
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    base = rollup_from_obs(
+        ev.where(F.col("ts") < cutoff), "value", "1h", key="user_id", ts="ts"
+    )
+    late = ev.where(F.col("ts") >= cutoff)
+    merged = merge_tier_delta(base, late, "value", "1h", key="user_id", ts="ts")
+    return merged.select(
+        "user_id", "bucket_start", "cnt",
+        F.round("vsum", 2).alias("vsum"), "vmin", "vmax",
+    )

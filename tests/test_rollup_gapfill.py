@@ -114,3 +114,39 @@ def test_mean_derived_from_partials(obs):
     t = with_mean(build_tiers(obs, "text_length")["1d"])
     bad = t.where(F.abs(F.col("vmean") * F.col("cnt") - F.col("vsum")) > 1e-6)
     assert bad.count() == 0
+
+
+def test_merge_tier_delta_equals_full_rebuild(spark, obs):
+    """Folding a late slice into a stored tier partial-wise reproduces the
+    from-scratch tier: cnt/min/max exactly, vsum within 1 ulp."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import merge_tier_delta, rollup_from_obs
+
+    cut = obs.agg(F.percentile_approx("warc_ts", 0.7).alias("c")).first()["c"]
+    base = rollup_from_obs(obs.where(F.col("warc_ts") < F.lit(cut)), "text_length")
+    merged = merge_tier_delta(
+        base, obs.where(F.col("warc_ts") >= F.lit(cut)), "text_length"
+    )
+    full = rollup_from_obs(obs, "text_length")
+    j = merged.alias("m").join(full.alias("f"), ["url", "bucket_start"], "full")
+    assert j.where(F.col("m.cnt").isNull() | F.col("f.cnt").isNull()).count() == 0
+    bad = j.where(
+        (F.col("m.cnt") != F.col("f.cnt"))
+        | (F.col("m.vmin") != F.col("f.vmin"))
+        | (F.col("m.vmax") != F.col("f.vmax"))
+        | (F.abs(F.col("m.vsum") - F.col("f.vsum")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+
+def test_merge_tier_delta_empty_delta_is_identity(spark, obs):
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import merge_tier_delta, rollup_from_obs
+
+    base = rollup_from_obs(obs, "text_length")
+    merged = merge_tier_delta(base, obs.where(F.lit(False)), "text_length")
+    assert merged.count() == base.count()
+    j = merged.alias("m").join(base.alias("b"), ["url", "bucket_start"])
+    assert j.where(F.col("m.cnt") != F.col("b.cnt")).count() == 0
