@@ -124,15 +124,74 @@ def merge_tier_delta(
     dd = d.select(key, "bucket_start", *[F.col(c).alias(f"_d_{c}") for c in PARTIAL_COLS])
     j = s.join(dd, [key, "bucket_start"], "full")
     zero = F.lit(0)
+    cnt = F.coalesce("_s_cnt", zero) + F.coalesce("_d_cnt", zero)
+    # vsum is NULL iff cnt is 0 (an all-NULL bucket) — a full rebuild
+    # yields NULL there, so the merge must too, not coalesce it to 0.0
+    vsum = F.when(
+        cnt > 0,
+        F.coalesce("_s_vsum", F.lit(0.0)) + F.coalesce("_d_vsum", F.lit(0.0)),
+    )
     return j.select(
         key,
         "bucket_start",
-        (F.coalesce("_s_cnt", zero) + F.coalesce("_d_cnt", zero)).alias("cnt"),
-        (F.coalesce("_s_vsum", F.lit(0.0)) + F.coalesce("_d_vsum", F.lit(0.0))).alias("vsum"),
+        cnt.alias("cnt"),
+        vsum.alias("vsum"),
         F.least(
             F.coalesce("_s_vmin", F.col("_d_vmin")), F.coalesce("_d_vmin", F.col("_s_vmin"))
         ).alias("vmin"),
         F.greatest(
             F.coalesce("_s_vmax", F.col("_d_vmax")), F.coalesce("_d_vmax", F.col("_s_vmax"))
         ).alias("vmax"),
+    )
+
+
+def parse_width(spec: str) -> int:
+    """'6h' / '36h' / '7d' / '30d' -> width in seconds."""
+    unit = spec[-1]
+    n = int(spec[:-1])
+    if unit == "h":
+        return n * 3600
+    if unit == "d":
+        return n * 86400
+    raise ValueError(f"unsupported width spec: {spec} (use Nh or Nd)")
+
+
+def pick_tier(
+    spec: str, available: tuple[str, ...] = ("1h", "1d", "30d")
+) -> str:
+    """Rollup planner: the COARSEST stored tier that can answer an
+    aggregation at ``spec`` width — its width must divide the requested
+    width (all tiers are epoch/calendar aligned in UTC, so divisibility
+    implies bucket alignment). The TimescaleDB continuous-aggregate
+    query-routing rule: answering '7d' from the 1d tier reads ~24x fewer
+    rows than from 1h, ~10^4x fewer than raw."""
+    want = parse_width(spec)
+    best = None
+    for t in available:
+        w = TIER_SECONDS[t]
+        if want % w == 0 and (best is None or w > TIER_SECONDS[best]):
+            best = t
+    if best is None:
+        raise ValueError(f"no stored tier divides {spec}")
+    return best
+
+
+def rollup_to_width(tier_df: DataFrame, spec: str, key: str = "url") -> DataFrame:
+    """Re-aggregate tier partials into arbitrary epoch-anchored buckets of
+    ``spec`` width (the generalization of cascade() beyond the named
+    tiers)."""
+    width = parse_width(spec)
+    b = F.col("bucket_start").cast("timestamp")
+    anchored = F.timestamp_seconds(
+        (b.cast("long") - F.pmod(b.cast("long"), F.lit(width)))
+    )
+    return (
+        tier_df.select(key, anchored.alias("bucket_start"), *PARTIAL_COLS)
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
     )

@@ -419,3 +419,37 @@ def tier_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "bucket_start", "cnt",
         F.round("vsum", 2).alias("vsum"), "vmin", "vmax",
     )
+
+
+@_q(
+    "rollup_6h_planned",
+    """
+    SELECT user_id,
+           TIMESTAMP '1970-01-01'
+             + (epoch(ts)::BIGINT - epoch(ts)::BIGINT % 21600) * INTERVAL 1 SECOND
+             AS bucket_start,
+           COUNT(value)         AS cnt,
+           ROUND(SUM(value), 2) AS vsum,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_6h_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width rollup routed through the tier planner: a 6h
+    aggregation is answered from the 1h tier (pick_tier chooses the
+    coarsest divisor), checked against direct 6h aggregation of the raw
+    table — proving planner routing loses nothing."""
+    from mintpy_spark.operators.rollup import (
+        build_tiers,
+        pick_tier,
+        rollup_to_width,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    tiers = build_tiers(ev, "value", key="user_id", ts="ts")
+    src = pick_tier("6h")
+    out = rollup_to_width(tiers[src], "6h", key="user_id")
+    return out.select(
+        "user_id", "bucket_start", "cnt",
+        F.round("vsum", 2).alias("vsum"), "vmin", "vmax",
+    )

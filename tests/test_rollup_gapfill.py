@@ -150,3 +150,50 @@ def test_merge_tier_delta_empty_delta_is_identity(spark, obs):
     assert merged.count() == base.count()
     j = merged.alias("m").join(base.alias("b"), ["url", "bucket_start"])
     assert j.where(F.col("m.cnt") != F.col("b.cnt")).count() == 0
+
+
+def test_pick_tier_routing():
+    from mintpy_spark.operators.rollup import parse_width, pick_tier
+
+    assert pick_tier("6h") == "1h"     # 1d does not divide 6h
+    assert pick_tier("7d") == "1d"     # coarsest divisor of 7d
+    assert pick_tier("36h") == "1h"    # 24h does not divide 36h
+    assert pick_tier("90d") == "30d"   # coarsest wins over 1d/1h
+    assert parse_width("36h") == 36 * 3600
+    import pytest
+
+    with pytest.raises(ValueError):
+        pick_tier("5h", available=("1d", "30d"))  # nothing divides
+
+
+def test_rollup_to_width_matches_direct(spark, obs):
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import rollup_from_obs, rollup_to_width
+
+    t1h = rollup_from_obs(obs, "text_length")
+    via_tier = rollup_to_width(t1h, "6h")
+    sec = F.col("warc_ts").cast("long")
+    direct = (
+        obs.groupBy(
+            "url",
+            F.timestamp_seconds(sec - F.pmod(sec, F.lit(21600))).alias("bucket_start"),
+        )
+        .agg(
+            F.count("text_length").alias("cnt"),
+            F.sum("text_length").alias("vsum"),
+            F.min("text_length").alias("vmin"),
+            F.max("text_length").alias("vmax"),
+        )
+    )
+    j = via_tier.alias("a").join(direct.alias("b"), ["url", "bucket_start"], "full")
+    assert j.where(F.col("a.cnt").isNull() | F.col("b.cnt").isNull()).count() == 0
+    assert (
+        j.where(
+            (F.col("a.cnt") != F.col("b.cnt"))
+            | (F.col("a.vmin") != F.col("b.vmin"))
+            | (F.col("a.vmax") != F.col("b.vmax"))
+            | (F.abs(F.col("a.vsum") - F.col("b.vsum")) > 1e-6)
+        ).count()
+        == 0
+    )
