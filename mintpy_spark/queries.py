@@ -453,3 +453,39 @@ def rollup_6h_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "bucket_start", "cnt",
         F.round("vsum", 2).alias("vsum"), "vmin", "vmax",
     )
+
+
+@_q(
+    "rollup_1d_change_velocity",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(deriv)         AS cnt,
+           ROUND(SUM(deriv), 2) AS vsum,
+           ROUND(MIN(deriv), 2) AS vmin,
+           ROUND(MAX(deriv), 2) AS vmax
+    FROM (
+      SELECT user_id, ts,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS deriv
+      FROM events
+    ) WHERE deriv IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def rollup_1d_change_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star metric end-to-end: per-key CHANGE velocity (lag-1
+    delta of the observed value) rolled into the 1d tier's decomposable
+    partials — derivative and rollup share one hash(key) clustering, so
+    the whole plan is window + aggregation on a single exchange."""
+    from mintpy_spark.operators.diff import temporal_derivative
+    from mintpy_spark.operators.rollup import rollup_from_obs
+
+    ev = load(spark, sf_dir, "events")
+    deriv = temporal_derivative(ev, "value", key="user_id", ts="ts")
+    t1d = rollup_from_obs(deriv, "deriv", "1d", key="user_id", ts="ts")
+    return t1d.select(
+        "user_id", "bucket_start", "cnt",
+        F.round("vsum", 2).alias("vsum"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+    )
