@@ -595,3 +595,55 @@ def network_inversion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round("coherence", 4).alias("coherence"),
     )
+
+
+@_q(
+    "pair_reconstruct_residual",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             arg_max(value, ts) AS last_v,
+             AVG(value)         AS mean_v
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, day AS ts1,
+             lead(day)    OVER w AS ts2,
+             lead(last_v) OVER w - last_v AS delta
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT p.user_id, p.ts1, p.ts2,
+           ROUND(p.delta - (s2.mean_v - s1.mean_v), 4) AS delta_residual
+    FROM p
+    JOIN s s1 ON p.user_id = s1.user_id AND p.ts1 = s1.day
+    JOIN s s2 ON p.user_id = s2.user_id AND p.ts2 = s2.day
+    WHERE p.ts2 IS NOT NULL
+    """,
+)
+def pair_reconstruct_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff_ifgram_and_timeseries (reference diff.py:299): evaluate a
+    candidate series at each pair's endpoints and subtract from the
+    observed pair delta. Pairs come from the daily LAST-observation
+    series, the evaluated series is the daily MEAN — the residual measures
+    how much within-day variability the mean series fails to explain."""
+    from mintpy_spark.operators.diff import pair_deltas, reconstruct_pair_from_series
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max_by("value", "ts").alias("last_v"),
+        F.avg("value").alias("mean_v"),
+    )
+    pairs = pair_deltas(
+        daily.select("user_id", F.col("day").alias("ts"), F.col("last_v").alias("v")),
+        "v", max_lag=1, key="user_id", ts="ts",
+    ).select("user_id", "ts1", "ts2", "delta")
+    series = daily.select(
+        "user_id", F.col("day").alias("bucket_start"), F.col("mean_v").alias("value")
+    )
+    out = reconstruct_pair_from_series(series, pairs, value_col="value", key="user_id")
+    return out.select(
+        "user_id", "ts1", "ts2", F.round("delta_residual", 4).alias("delta_residual")
+    )
