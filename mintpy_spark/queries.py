@@ -127,7 +127,8 @@ def rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            TIMESTAMP '1970-01-01'
-             + (epoch(ts)::BIGINT - epoch(ts)::BIGINT % 2592000) * INTERVAL 1 SECOND
+             + (CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(ts)) AS BIGINT) % 2592000) * INTERVAL 1 SECOND
              AS bucket_start,
            COUNT(value)                      AS cnt,
            ROUND(SUM(value), 2)              AS vsum,
@@ -426,7 +427,8 @@ def tier_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            TIMESTAMP '1970-01-01'
-             + (epoch(ts)::BIGINT - epoch(ts)::BIGINT % 21600) * INTERVAL 1 SECOND
+             + (CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(ts)) AS BIGINT) % 21600) * INTERVAL 1 SECOND
              AS bucket_start,
            COUNT(value)         AS cnt,
            ROUND(SUM(value), 2) AS vsum,

@@ -604,7 +604,8 @@ def network_inversion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              arg_max(value, ts) AS last_v,
-             AVG(value)         AS mean_v
+             SUM(value)         AS sum_v,
+             COUNT(value)       AS cnt_v
       FROM events GROUP BY 1, 2
     ),
     p AS (
@@ -614,7 +615,8 @@ def network_inversion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s WINDOW w AS (PARTITION BY user_id ORDER BY day)
     )
     SELECT p.user_id, p.ts1, p.ts2,
-           ROUND(p.delta - (s2.mean_v - s1.mean_v), 4) AS delta_residual
+           ROUND(p.delta * s1.cnt_v * s2.cnt_v
+                 - s2.sum_v * s1.cnt_v + s1.sum_v * s2.cnt_v, 2) AS resid_scaled
     FROM p
     JOIN s s1 ON p.user_id = s1.user_id AND p.ts1 = s1.day
     JOIN s s2 ON p.user_id = s2.user_id AND p.ts2 = s2.day
@@ -626,7 +628,12 @@ def pair_reconstruct_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate series at each pair's endpoints and subtract from the
     observed pair delta. Pairs come from the daily LAST-observation
     series, the evaluated series is the daily MEAN — the residual measures
-    how much within-day variability the mean series fails to explain."""
+    how much within-day variability the mean series fails to explain.
+
+    Comparison is on the cnt1*cnt2-SCALED residual: the raw residual
+    contains a difference of means, and means of 2-dp inputs sit on
+    rounding half-way points where engines disagree; the scaled form is an
+    exact 2-dp-grid value on both sides (round(2) collision-free)."""
     from mintpy_spark.operators.diff import pair_deltas, reconstruct_pair_from_series
 
     ev = load(spark, sf_dir, "events")
@@ -634,16 +641,28 @@ def pair_reconstruct_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
         F.max_by("value", "ts").alias("last_v"),
-        F.avg("value").alias("mean_v"),
+        F.sum("value").alias("sum_v"),
+        F.count("value").alias("cnt_v"),
     )
     pairs = pair_deltas(
         daily.select("user_id", F.col("day").alias("ts"), F.col("last_v").alias("v")),
         "v", max_lag=1, key="user_id", ts="ts",
     ).select("user_id", "ts1", "ts2", "delta")
     series = daily.select(
-        "user_id", F.col("day").alias("bucket_start"), F.col("mean_v").alias("value")
+        "user_id",
+        F.col("day").alias("bucket_start"),
+        (F.col("sum_v") / F.col("cnt_v")).alias("value"),
     )
     out = reconstruct_pair_from_series(series, pairs, value_col="value", key="user_id")
-    return out.select(
-        "user_id", "ts1", "ts2", F.round("delta_residual", 4).alias("delta_residual")
+    c1 = daily.select("user_id", F.col("day").alias("ts1"), F.col("cnt_v").alias("c1"))
+    c2 = daily.select("user_id", F.col("day").alias("ts2"), F.col("cnt_v").alias("c2"))
+    return (
+        out.join(c1, ["user_id", "ts1"])
+        .join(c2, ["user_id", "ts2"])
+        .select(
+            "user_id", "ts1", "ts2",
+            F.round(F.col("delta_residual") * F.col("c1") * F.col("c2"), 2).alias(
+                "resid_scaled"
+            ),
+        )
     )
