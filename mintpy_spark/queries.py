@@ -174,14 +174,22 @@ def spatial_avg_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "temporal_avg",
     """
-    SELECT user_id, ROUND(AVG(value), 4) AS temporal_avg, COUNT(value) AS cnt
+    SELECT user_id, ROUND(SUM(value), 2) AS vsum, COUNT(value) AS cnt
     FROM events GROUP BY 1
     """,
 )
 def temporal_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compared as (2-dp sum, count) partials — the mean is vsum/cnt.
+    ROUND(AVG, 4) is NOT hash-safe: means of 2-dp inputs land exactly on
+    .00005 half-way points where engine rounding conventions diverge
+    (this bit at sf0.1 while passing the sf0.01 gate by data luck)."""
     ev = load(spark, sf_dir, "events")
     out = temporal_average(ev, "value", key="user_id")
-    return out.select("user_id", _round4("temporal_avg").alias("temporal_avg"), "cnt")
+    return out.select(
+        "user_id",
+        F.round(F.col("temporal_avg") * F.col("cnt"), 2).alias("vsum"),
+        "cnt",
+    )
 
 
 @_q(
