@@ -27,6 +27,19 @@ from mintpy_spark.functions.timefn import TIER_SECONDS, bucket_start
 PARTIAL_COLS = ("cnt", "vsum", "vmin", "vmax")
 
 
+def _merge_partials(df: DataFrame, key: str) -> DataFrame:
+    """The ONE partial-merge spec (cnt/vsum add, vmin/vmax combine) shared
+    by cascade() and rollup_to_width(); df must carry (key, bucket_start,
+    *PARTIAL_COLS). Extend partials (e.g. a sum-of-squares column for
+    variance) here and in rollup_from_obs/merge_tier_delta only."""
+    return df.groupBy(key, "bucket_start").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
 def rollup_from_obs(
     obs: DataFrame, value_col: str, tier: str = "1h", key: str = "url", ts: str = "warc_ts"
 ) -> DataFrame:
@@ -54,19 +67,13 @@ def cascade(tier_df: DataFrame, to_tier: str, key: str = "url") -> DataFrame:
     exact; for floating metrics the partial-sum tree differs from a raw-data
     sum only in the last ulp (documented in SURVEY.md §7.3 hard-part 1).
     """
-    return (
+    return _merge_partials(
         tier_df.select(
             key,
             bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
             *PARTIAL_COLS,
-        )
-        .groupBy(key, "bucket_start")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("vsum").alias("vsum"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
+        ),
+        key,
     )
 
 
@@ -185,13 +192,6 @@ def rollup_to_width(tier_df: DataFrame, spec: str, key: str = "url") -> DataFram
     anchored = F.timestamp_seconds(
         (b.cast("long") - F.pmod(b.cast("long"), F.lit(width)))
     )
-    return (
-        tier_df.select(key, anchored.alias("bucket_start"), *PARTIAL_COLS)
-        .groupBy(key, "bucket_start")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("vsum").alias("vsum"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
+    return _merge_partials(
+        tier_df.select(key, anchored.alias("bucket_start"), *PARTIAL_COLS), key
     )
