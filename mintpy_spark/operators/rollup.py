@@ -195,3 +195,60 @@ def rollup_to_width(tier_df: DataFrame, spec: str, key: str = "url") -> DataFram
     return _merge_partials(
         tier_df.select(key, anchored.alias("bucket_start"), *PARTIAL_COLS), key
     )
+
+
+def cascade_refresh(
+    stored_coarse: DataFrame,
+    merged_fine: DataFrame,
+    touched_fine: DataFrame,
+    to_tier: str,
+    key: str = "url",
+) -> DataFrame:
+    """Incrementally refresh a coarser stored tier after its finer tier
+    absorbed a delta: only the DIRTY coarse buckets — those covering a
+    touched fine bucket — are re-cascaded from the (already merged) fine
+    tier; every other stored cell passes through untouched via an
+    anti-join. Cost scales with the dirty set, not the tier.
+
+    ``touched_fine``: the fine-tier (key, bucket_start) cells the delta
+    hit (e.g. ``rollup_from_obs(delta_obs, ...)`` — the same frame
+    merge_tier_delta aggregates).
+    """
+    dirty = touched_fine.select(
+        key, bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start")
+    ).distinct()
+    fine_in_dirty = merged_fine.withColumn(
+        "_coarse", bucket_start(F.col("bucket_start"), to_tier)
+    ).join(
+        dirty.select(key, F.col("bucket_start").alias("_coarse")),
+        [key, "_coarse"],
+    ).drop("_coarse")
+    rebuilt = cascade(fine_in_dirty, to_tier, key=key)
+    kept = stored_coarse.join(dirty, [key, "bucket_start"], "left_anti")
+    return kept.unionByName(rebuilt)
+
+
+def refresh_tiers_incremental(
+    stored: dict[str, DataFrame],
+    delta_obs: DataFrame,
+    value_col: str,
+    tiers: tuple[str, ...] = ("1h", "1d", "30d"),
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> dict[str, DataFrame]:
+    """Full continuous-aggregate maintenance: fold a late/new observation
+    delta into EVERY stored tier — partial-wise merge at the finest tier,
+    then dirty-bucket cascade refresh upward. The whole update reads the
+    delta plus the touched cells; raw history is never re-read and
+    untouched tier cells are never recomputed."""
+    finest = tiers[0]
+    touched = rollup_from_obs(delta_obs, value_col, finest, key=key, ts=ts)
+    out: dict[str, DataFrame] = {}
+    out[finest] = merge_tier_delta(
+        stored[finest], delta_obs, value_col, finest, key=key, ts=ts
+    )
+    prev = out[finest]
+    for t in tiers[1:]:
+        out[t] = cascade_refresh(stored[t], prev, touched, t, key=key)
+        prev = out[t]
+    return out

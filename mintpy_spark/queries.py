@@ -499,3 +499,38 @@ def rollup_1d_change_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmin", 2).alias("vmin"),
         F.round("vmax", 2).alias("vmax"),
     )
+
+
+@_q(
+    "tier_refresh_incremental_1d",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(value)         AS cnt,
+           ROUND(SUM(value), 2) AS vsum,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tier_refresh_incremental_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full continuous-aggregate maintenance, end-to-end: tiers built from
+    the first 20 days, a late slice folded in by partial merge (1h) +
+    dirty-bucket cascade refresh (1d). The oracle is the direct full daily
+    aggregation — incremental maintenance must be indistinguishable from a
+    from-scratch build."""
+    from mintpy_spark.operators.rollup import build_tiers, refresh_tiers_incremental
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    stored = build_tiers(
+        ev.where(F.col("ts") < cutoff), "value", tiers=("1h", "1d"),
+        key="user_id", ts="ts",
+    )
+    refreshed = refresh_tiers_incremental(
+        stored, ev.where(F.col("ts") >= cutoff), "value",
+        tiers=("1h", "1d"), key="user_id", ts="ts",
+    )
+    return refreshed["1d"].select(
+        "user_id", "bucket_start", "cnt",
+        F.round("vsum", 2).alias("vsum"), "vmin", "vmax",
+    )

@@ -197,3 +197,57 @@ def test_rollup_to_width_matches_direct(spark, obs):
         ).count()
         == 0
     )
+
+
+def test_refresh_tiers_incremental_equals_full_rebuild(spark, obs):
+    """Merging a late slice through all three tiers (partial merge + dirty
+    cascade) reproduces the from-scratch tier stack."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import build_tiers, refresh_tiers_incremental
+
+    cut = obs.agg(F.percentile_approx("warc_ts", 0.6).alias("c")).first()["c"]
+    base_obs = obs.where(F.col("warc_ts") < F.lit(cut))
+    late_obs = obs.where(F.col("warc_ts") >= F.lit(cut))
+    stored = build_tiers(base_obs, "text_length")
+    refreshed = refresh_tiers_incremental(stored, late_obs, "text_length")
+    full = build_tiers(obs, "text_length")
+    for t in ("1h", "1d", "30d"):
+        j = refreshed[t].alias("r").join(
+            full[t].alias("f"), ["url", "bucket_start"], "full"
+        )
+        assert j.where(F.col("r.cnt").isNull() | F.col("f.cnt").isNull()).count() == 0, t
+        bad = j.where(
+            (F.col("r.cnt") != F.col("f.cnt"))
+            | (F.col("r.vmin") != F.col("f.vmin"))
+            | (F.col("r.vmax") != F.col("f.vmax"))
+            | (F.abs(F.col("r.vsum") - F.col("f.vsum")) > 1e-6)
+        ).count()
+        assert bad == 0, t
+
+
+def test_cascade_refresh_touches_only_dirty_buckets(spark, obs):
+    """Untouched coarse cells must pass through IDENTICALLY (same object
+    values, not recomputed): refresh with an empty-ish delta touching one
+    day leaves every other 1d cell bit-identical to the stored tier."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import (
+        build_tiers,
+        cascade_refresh,
+        merge_tier_delta,
+        rollup_from_obs,
+    )
+
+    stored = build_tiers(obs, "text_length")
+    one_day = obs.orderBy("warc_ts").limit(5)
+    touched = rollup_from_obs(one_day, "text_length")
+    merged_1h = merge_tier_delta(stored["1h"], one_day, "text_length")
+    refreshed_1d = cascade_refresh(stored["1d"], merged_1h, touched, "1d")
+    dirty_days = touched.select(
+        "url", F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).distinct()
+    clean_ref = refreshed_1d.join(dirty_days, ["url", "bucket_start"], "left_anti")
+    clean_old = stored["1d"].join(dirty_days, ["url", "bucket_start"], "left_anti")
+    assert clean_ref.exceptAll(clean_old).count() == 0
+    assert clean_old.exceptAll(clean_ref).count() == 0
