@@ -157,3 +157,45 @@ def test_change_detector_survives_multi_chunk_groups(spark, paths):
     got = {tuple(r) for r in spark.read.parquet(outp).collect()}
     expect = {tuple(r) for r in batch_change_events(spark.read.parquet(inp)).collect()}
     assert got == expect and len(got) == 24  # value changes every hour
+
+
+def test_streaming_tier_maintenance_equals_batch_rebuild(spark, paths):
+    """Two AvailableNow maintenance passes (bootstrap + late fold) leave
+    stored tiers equal to a from-scratch batch build over all input."""
+    import pandas as pd
+
+    from mintpy_spark.operators.rollup import build_tiers
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer, maintain_tiers
+
+    inp, store_root, ckpt = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+
+    def drop(day_lo, day_hi):
+        rows = [
+            (f"u{u}", dt.datetime(2023, 1, d, h), 100 + u * 10 + h)
+            for u in range(4)
+            for d in range(day_lo, day_hi)
+            for h in (3, 9, 15)
+        ]
+        spark.createDataFrame(rows, sch).write.mode("append").parquet(inp)
+
+    drop(1, 4)
+    maintain_tiers(spark, inp, store_root, ckpt)
+    drop(4, 6)   # new days
+    drop(1, 2)   # AND late rows for day 1 (duplicate obs are new points)
+    maintain_tiers(spark, inp, store_root, ckpt)
+
+    m = TierMaintainer(store_root)
+    full = build_tiers(spark.read.parquet(inp), "text_length")
+    for t in ("1h", "1d", "30d"):
+        got = m.read_tier(spark, t)
+        want = full[t]
+        j = got.alias("g").join(want.alias("w"), ["url", "bucket_start"], "full")
+        assert j.where(F.col("g.cnt").isNull() | F.col("w.cnt").isNull()).count() == 0, t
+        bad = j.where(
+            (F.col("g.cnt") != F.col("w.cnt"))
+            | (F.col("g.vmin") != F.col("w.vmin"))
+            | (F.col("g.vmax") != F.col("w.vmax"))
+            | (F.abs(F.col("g.vsum") - F.col("w.vsum")) > 1e-6)
+        ).count()
+        assert bad == 0, t
