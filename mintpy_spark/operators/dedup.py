@@ -81,15 +81,30 @@ def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = NUM_PERM,
 ) -> DataFrame:
-    """(id, m0..m{P-1}) — min over tokens of (a_i * (h % P) + b_i) % P."""
-    ex = docs.select(id_col, F.explode(tokens(text_col)).alias("tok")).withColumn(
-        "hm", token_hash(F.col("tok")) % HASH_P
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % HASH_P).alias(f"m{i}")
+    """(id, m0..m{P-1}) — min over tokens of (a_i * (h % P) + b_i) % P.
+
+    Computed ROW-LOCALLY: the token-hash array is staged once per doc
+    (md5 evaluated once per token), then each permutation is an
+    array_min over a transform — all inside whole-stage codegen, ZERO
+    shuffle. The earlier explode + groupBy formulation shuffled one row
+    per (doc, token) — ~10^2x the corpus row count — just to take
+    per-doc minima that never needed to leave the row. Docs with no
+    tokens are excluded (same semantics as the grouped form, where they
+    had no rows to aggregate)."""
+    hm = F.transform(tokens(text_col), lambda t: token_hash(t) % HASH_P)
+    staged = docs.select(id_col, hm.alias("_hm")).where(F.size("_hm") > 0)
+    mins = [
+        F.array_min(
+            F.transform(F.col("_hm"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(perm_coeffs(num_perm))
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    # repartition the (tiny) signature table on the id: row-local
+    # computation inherits the SCAN's partitioning (possibly one file =
+    # one partition), which would serialize every downstream self-join;
+    # this shuffles signature-sized rows, not the token explosion the old
+    # grouped form shuffled
+    return staged.select(id_col, *mins).repartition(F.col(id_col))
 
 
 def lsh_bands(sig: DataFrame, id_col: str = "doc_id",
