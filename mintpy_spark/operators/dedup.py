@@ -170,21 +170,31 @@ def simhash(
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """(id, simhash): per-bit +/-1 vote over the token-hash bits, bit set
-    when the vote sum is positive."""
-    ex = docs.select(id_col, F.explode(tokens(text_col)).alias("tok")).withColumn(
-        "hv", token_hash(F.col("tok"))
-    )
+    when the vote sum is positive.
+
+    Row-local like minhash_signatures: the token-hash array is staged once
+    per doc and each bit's vote is an aggregate() fold over it — zero
+    shuffle (the old explode + groupBy form shuffled one row per
+    (doc, token)); the signature-sized output is repartitioned so a
+    single-file scan cannot serialize downstream self-joins."""
+    hv = F.transform(tokens(text_col), lambda t: token_hash(t))
+    staged = docs.select(id_col, hv.alias("_hv")).where(F.size("_hv") > 0)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.aggregate(
+            F.col("_hv"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    per_bit = ex.groupBy(id_col).agg(*votes)
+    per_bit = staged.select(id_col, *votes)
     value = sum(
         F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)
     )
-    return per_bit.select(id_col, value.cast("long").alias("simhash"))
+    return per_bit.select(id_col, value.cast("long").alias("simhash")).repartition(
+        F.col(id_col)
+    )
 
 
 def simhash_near_dups(
