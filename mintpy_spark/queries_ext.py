@@ -526,3 +526,52 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("vmax"),
         )
     )
+
+
+# Common English stopwords (public list) — inlined identically into both
+# engines; integer counts -> exact cross-engine arithmetic.
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be",
+)
+
+
+@_q(
+    "text_stopword_ratio",
+    f"""
+    SELECT doc_id,
+           CAST(nsw AS BIGINT)  AS n_stop,
+           CAST(ntok AS BIGINT) AS n_tok,
+           ROUND(CAST(nsw AS DOUBLE) / ntok, 4) AS stop_ratio
+    FROM (
+      SELECT doc_id,
+             len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS nsw,
+             len(toks) AS ntok
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+      )
+    ) WHERE ntok > 0
+    """,
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality score (the classic fluency heuristic: human
+    prose carries ~30-60% function words, keyword spam and boilerplate far
+    less). Counts are integers — exact cross-engine; the ratio divides two
+    exact ints so both engines round the same double."""
+    d = load(spark, sf_dir, "documents")
+    sw = F.array([F.lit(w) for w in _STOPWORDS])
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks"))
+    nsw = F.size(F.filter("toks", lambda t_: F.array_contains(sw, t_)))
+    ntok = F.size("toks")
+    return (
+        t.where(ntok > 0)
+        .select(
+            "doc_id",
+            nsw.cast("long").alias("n_stop"),
+            ntok.cast("long").alias("n_tok"),
+            F.round(nsw.cast("double") / ntok, 4).alias("stop_ratio"),
+        )
+    )
