@@ -161,3 +161,146 @@ def ann_topk_oracle_sql(
     ORDER BY cos_sim DESC, b.{id_col} ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization to fixed centroids, probe the
+# nearest n_probe centroid buckets, exact cosine within. The second classic
+# ANN family next to hyperplane LSH: LSH buckets are data-independent
+# (stable under drift, no training), IVF buckets follow the data
+# distribution (tighter candidate sets when the corpus clusters). Here the
+# centroid set is a deterministic sample (lowest ``num_centroids`` ids) —
+# the training-free "Flat IVF" baseline; a k-means refinement would slot in
+# by replacing the centroid table only.
+# ---------------------------------------------------------------------------
+
+def _cos_to_literal(vec_col: Column, cvec: list[float]) -> Column:
+    """Cosine(row vector, literal centroid) — sequential-fold dot products
+    (oracle evaluation order) with the centroid norm precomputed."""
+    import math
+
+    lit = F.array(*[F.lit(float(x)) for x in cvec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nrm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(vec_col, vec_col, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (vnorm * F.lit(nrm))
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``ivf_bucket``: argmax-cosine centroid id, lowest id on ties.
+
+    Scores are STAGED as one array column and the argmax is
+    array_position(scores, array_max(scores)) — first occurrence, i.e.
+    lowest centroid id. (A when-chain over running best would duplicate
+    every prior score expression per step — exponential expression-tree
+    growth; the array form evaluates each cosine exactly once per row.)
+    Requires centroids sorted by id with ids 0..C-1 (load_centroids)."""
+    assert [cid for cid, _ in centroids] == list(range(len(centroids)))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = F.array(*[_cos_to_literal(v, cvec) for _cid, cvec in centroids])
+    staged = emb.withColumn("_cs", scores)
+    bucket = (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1).cast("int")
+    return staged.withColumn("ivf_bucket", bucket).drop("_cs")
+
+
+def load_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid sample: the ``num_centroids`` lowest ids
+    (collected driver-side once — centroid tables are tiny by design)."""
+    rows = (
+        emb.where(F.col(id_col) < num_centroids)
+        .select(id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), list(r[1])) for r in rows]
+
+
+def ivf_topk(
+    emb: DataFrame, query_id: int, k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> DataFrame:
+    """IVF ANN top-k: probe the query's ``n_probe`` nearest centroid
+    buckets, exact cosine inside — candidates ~ corpus * n_probe / C."""
+    cents = load_centroids(emb, id_col, vec_col, num_centroids)
+    assigned = ivf_assign(emb, cents, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qrow = emb.where(F.col(id_col) == query_id).select(v.alias("qv")).collect()[0]
+    qv = list(qrow["qv"])
+    import math
+
+    qscores = sorted(
+        (
+            (
+                -sum(a * b for a, b in zip(qv, cvec))
+                / (math.sqrt(sum(a * a for a in qv)) * math.sqrt(sum(b * b for b in cvec))),
+                cid,
+            )
+            for cid, cvec in cents
+        )
+    )
+    probe = [cid for _neg, cid in qscores[:n_probe]]
+    cos = _cos_to_literal(v, qv)
+    return (
+        assigned.where(
+            F.col("ivf_bucket").isin(probe) & (F.col(id_col) != query_id)
+        )
+        .select(id_col, "ivf_bucket", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_oracle_sql(
+    table: str = "embeddings", query_id: int = 0, k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", num_centroids: int = 16,
+) -> str:
+    """DuckDB re-execution of the IVF path: same centroid sample, same
+    argmax assignment (score DESC, cid ASC), same probe set, same cosine."""
+    return f"""
+    WITH e AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+    ),
+    c AS (SELECT {id_col} AS cid, v AS cv FROM e WHERE {id_col} < {num_centroids}),
+    scored AS (
+      SELECT e.{id_col}, c.cid,
+             list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+               AS s
+      FROM e CROSS JOIN c
+    ),
+    assign AS (
+      SELECT {id_col}, cid AS bucket FROM (
+        SELECT {id_col}, cid,
+               row_number() OVER (PARTITION BY {id_col} ORDER BY s DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT cid FROM scored WHERE {id_col} = {query_id}
+      ORDER BY s DESC, cid ASC LIMIT {n_probe}
+    ),
+    q AS (SELECT v AS qv FROM e WHERE {id_col} = {query_id})
+    SELECT e.{id_col}, CAST(a.bucket AS INT) AS ivf_bucket,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 4) AS cos_sim
+    FROM e JOIN assign a ON e.{id_col} = a.{id_col}, q
+    WHERE a.bucket IN (SELECT cid FROM qprobe) AND e.{id_col} <> {query_id}
+    ORDER BY cos_sim DESC, e.{id_col} ASC
+    LIMIT {k}
+    """

@@ -219,3 +219,31 @@ def test_keeper_map_one_hop(spark, docs_df):
     assert got[3] == 0       # doc 3 is an exact dup of doc 0
     assert got[0] == 0       # the keeper keeps itself
     assert got[4] == 4       # singleton
+
+
+def test_ivf_assignment_and_probe(spark):
+    """IVF coarse assignment matches a NumPy argmax replica; probing more
+    centroids only adds candidates (recall is monotone in n_probe)."""
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S.load_centroids(df, num_centroids=4)
+    got = {r.vec_id: r.ivf_bucket for r in S.ivf_assign(df, cents).collect()}
+    C = np.array([c for _cid, c in cents])
+    V = vecs.astype(np.float64)
+    sims = (V @ C.T) / (
+        np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    expect = sims.argmax(axis=1)  # numpy argmax = first max = lowest cid
+    for i in range(60):
+        assert got[i] == expect[i], i
+    # k >= corpus so top-k truncation cannot mask candidate-set growth
+    r2 = {r.vec_id for r in S.ivf_topk(df, query_id=0, k=100, n_probe=2,
+                                       num_centroids=4).collect()}
+    r4 = {r.vec_id for r in S.ivf_topk(df, query_id=0, k=100, n_probe=4,
+                                       num_centroids=4).collect()}
+    assert r2 <= r4
+    assert len(r4) == 59  # n_probe == num centroids -> exhaustive minus query
