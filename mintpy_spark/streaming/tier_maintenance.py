@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mintpy_spark.operators.rollup import build_tiers, refresh_tiers_incremental
+from mintpy_spark.plans.checkpoint import CheckpointTable
 
 TIERS = ("1h", "1d", "30d")
 
@@ -44,6 +45,11 @@ class TierMaintainer:
         self.key = key
         self.ts = ts
         self.tiers = tiers
+        # per-batch lineage metrics — the maintenance twin of the batch
+        # pipeline's checkpoint table (plans/checkpoint.py): every fold
+        # records (batch_id, tier, rows, wall) so operators can audit what
+        # each refresh touched and when
+        self.metrics = CheckpointTable(f"{root}/_maintenance_metrics")
 
     def _path(self, tier: str) -> str:
         return f"{self.root}/tier_{tier}"
@@ -83,9 +89,27 @@ class TierMaintainer:
         # tier_1d materializes would make tier_1d re-read replaced files
         # (FAILED_READ_FILE). localCheckpoint(eager) snapshots them all
         # against the pre-write state.
+        import time as _time
+
+        t0 = _time.time()
         materialized = {t: new[t].localCheckpoint(eager=True) for t in self.tiers}
         for t in self.tiers:
             materialized[t].write.mode("overwrite").parquet(self._path(t))
+        wall_ms = int((_time.time() - t0) * 1000)
+        self.metrics.append(
+            [
+                {
+                    "run_id": f"batch{batch_id}",
+                    "stage": f"maintain_{t}",
+                    "part_id": 0,
+                    "input_fp": "delta",
+                    "row_count": int(materialized[t].count()),
+                    "wall_ms": wall_ms,
+                    "status": "complete",
+                }
+                for t in self.tiers
+            ]
+        )
 
     def foreach_batch(self):
         """The writeStream.foreachBatch callable."""
