@@ -252,3 +252,45 @@ def refresh_tiers_incremental(
         out[t] = cascade_refresh(stored[t], prev, touched, t, key=key)
         prev = out[t]
     return out
+
+
+def rollup_with_sq(
+    obs: DataFrame, value_col: str, tier: str = "1h", key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Tier partials EXTENDED with the sum-of-squares (vsumsq): with
+    (cnt, vsum, vsumsq) every tier can answer mean/variance/std/rms
+    queries without touching raw data — var_pop = vsumsq/cnt -
+    (vsum/cnt)^2, rms = sqrt(vsumsq/cnt). vsumsq is as decomposable as
+    vsum, so cascade/merge work identically (sq_cascade below)."""
+    base = rollup_from_obs(obs, value_col, tier, key=key, ts=ts)
+    sq = (
+        obs.select(
+            key,
+            bucket_start(F.col(ts), tier).alias("bucket_start"),
+            (F.col(value_col).cast("double") * F.col(value_col)).alias("v2"),
+        )
+        .groupBy(key, "bucket_start")
+        .agg(F.sum("v2").alias("vsumsq"))
+    )
+    return base.join(sq, [key, "bucket_start"])
+
+
+def sq_cascade(tier_df: DataFrame, to_tier: str, key: str = "url") -> DataFrame:
+    """cascade() for the sum-of-squares-extended partials."""
+    return (
+        tier_df.select(
+            key,
+            bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
+            *PARTIAL_COLS,
+            "vsumsq",
+        )
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsumsq").alias("vsumsq"),
+        )
+    )

@@ -534,3 +534,33 @@ def tier_refresh_incremental_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "bucket_start", "cnt",
         F.round("vsum", 2).alias("vsum"), "vmin", "vmax",
     )
+
+
+@_q(
+    "rollup_1d_variance_partials",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(value)                   AS cnt,
+           ROUND(SUM(value), 2)           AS vsum,
+           ROUND(SUM(value * value), 4)   AS vsumsq
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_variance_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-capable tier: the 1d (cnt, sum, sum-of-squares) partials
+    CASCADED from the 1h tier, checked against direct aggregation —
+    var_pop/std/rms derive from these three partials at any tier without
+    raw-data reads. Products of 2-dp inputs are exact 4-dp values, so
+    vsumsq rounds at 4 dp (rounding coarser would sit on half-way
+    points) while vsum keeps the 2-dp rule."""
+    from mintpy_spark.operators.rollup import rollup_with_sq, sq_cascade
+
+    ev = load(spark, sf_dir, "events")
+    t1h = rollup_with_sq(ev, "value", "1h", key="user_id", ts="ts")
+    t1d = sq_cascade(t1h, "1d", key="user_id")
+    return t1d.select(
+        "user_id", "bucket_start", "cnt",
+        F.round("vsum", 2).alias("vsum"),
+        F.round("vsumsq", 4).alias("vsumsq"),
+    )

@@ -251,3 +251,27 @@ def test_cascade_refresh_touches_only_dirty_buckets(spark, obs):
     clean_old = stored["1d"].join(dirty_days, ["url", "bucket_start"], "left_anti")
     assert clean_ref.exceptAll(clean_old).count() == 0
     assert clean_old.exceptAll(clean_ref).count() == 0
+
+
+def test_variance_from_tier_partials(spark, obs):
+    """std derived from (cnt, vsum, vsumsq) tier partials == direct
+    stddev_pop over raw data, at the cascaded 1d tier."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import rollup_with_sq, sq_cascade
+
+    t1d = sq_cascade(rollup_with_sq(obs, "text_length"), "1d")
+    derived = t1d.select(
+        "url", "bucket_start",
+        F.sqrt(
+            F.col("vsumsq") / F.col("cnt")
+            - (F.col("vsum") / F.col("cnt")) ** 2
+        ).alias("std_p"),
+    )
+    direct = (
+        obs.groupBy("url", F.date_trunc("day", "warc_ts").alias("bucket_start"))
+        .agg(F.stddev_pop("text_length").alias("std_d"))
+    )
+    j = derived.join(direct, ["url", "bucket_start"])
+    bad = j.where(F.abs(F.col("std_p") - F.col("std_d")) > 1e-6).count()
+    assert bad == 0 and j.count() > 0
