@@ -588,3 +588,72 @@ def embedding_bucketed_oracle_sql(
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
           > {threshold}
     """
+
+
+def dedup_components(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    iterations: int = 4,
+) -> DataFrame:
+    """Transitive near-dup clusters: (id, component) where component is
+    the min id reachable within ``iterations`` hops of the pair graph —
+    min-label propagation (the dataframe-native kernel of large-star /
+    small-star connected components).
+
+    One-hop keeper resolution (dedup_keeper_map) misses chains
+    (A~B, B~C but not A~C); propagation closes them: each iteration is one
+    join + aggregation (label moves one hop), so ``iterations`` >= cluster
+    diameter converges — LSH near-dup clusters are near-cliques (diameter
+    ~2), so a small fixed count suffices and makes the operator
+    DETERMINISTIC for a fixed k (the driver oracle unrolls the same k in
+    SQL). At 10^12 docs: edges ~ near-dup pairs (<< corpus), each round is
+    a bounded self-equijoin; checkpoint every few rounds to cut lineage.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _ in range(iterations):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("_nmin"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("_nmin", F.col("lbl"))).alias("lbl"),
+            )
+        )
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
+
+
+def components_oracle_sql(
+    pairs_sql: str, table: str = "documents", id_col: str = "doc_id",
+    iterations: int = 4,
+) -> str:
+    """Unrolled min-label propagation in SQL: the SAME k iterations, so
+    the result matches the Spark loop exactly even before convergence."""
+    sql = f"""
+    WITH prs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM prs
+    ),
+    l0 AS (SELECT {id_col} AS id, {id_col} AS lbl FROM {table})"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    l{i} AS (
+      SELECT l.id, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+      FROM l{i-1} l
+      LEFT JOIN edges e ON e.src = l.id
+      LEFT JOIN l{i-1} n ON n.id = e.dst
+      GROUP BY l.id, l.lbl
+    )"""
+    sql += f"""
+    SELECT id AS {id_col}, lbl AS component FROM l{iterations}
+    """
+    return sql

@@ -247,3 +247,27 @@ def test_ivf_assignment_and_probe(spark):
                                        num_centroids=4).collect()}
     assert r2 <= r4
     assert len(r4) == 59  # n_probe == num centroids -> exhaustive minus query
+
+
+def test_components_close_transitive_chains(spark):
+    """Min-label propagation closes chains one-hop keeper resolution
+    misses: a 5-node path converges to one component in 4 iterations; a
+    disjoint pair stays separate."""
+    import pandas as pd
+
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(7))}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [0, 1, 2, 3, 5], "doc_b": [1, 2, 3, 4, 6]})
+    )
+    got = {
+        r.doc_id: r.component
+        for r in D.dedup_components(ids, pairs, iterations=4).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5}
+    # one fewer iteration is NOT converged for the path (label needs 4
+    # hops to reach node 4) — documents why k must cover the diameter
+    got3 = {
+        r.doc_id: r.component
+        for r in D.dedup_components(ids, pairs, iterations=3).collect()
+    }
+    assert got3[4] != 0
