@@ -636,17 +636,21 @@ def components_oracle_sql(
 ) -> str:
     """Unrolled min-label propagation in SQL: the SAME k iterations, so
     the result matches the Spark loop exactly even before convergence."""
+    # AS MATERIALIZED: DuckDB otherwise inlines the CTEs, re-executing
+    # the (expensive) pair-generation subquery once per unrolled iteration
     sql = f"""
-    WITH prs AS ({pairs_sql}),
-    edges AS (
+    WITH prs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM prs
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM prs
     ),
-    l0 AS (SELECT {id_col} AS id, {id_col} AS lbl FROM {table})"""
+    l0 AS MATERIALIZED (SELECT {id_col} AS id, {id_col} AS lbl FROM {table})"""
+    # each l{{i}} references l{{i-1}} TWICE (label side + neighbor side):
+    # unmaterialized, DuckDB would inline the predecessor chain 2^k times
     for i in range(1, iterations + 1):
         sql += f""",
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT l.id, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
       FROM l{i-1} l
       LEFT JOIN edges e ON e.src = l.id
