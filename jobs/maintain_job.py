@@ -19,7 +19,11 @@ Deployment (north_rule):
         --checkpoint /path/to/stream_ckpt
 
 Re-running after a crash is safe: the stream checkpoint replays the
-unconsumed files and the tier overwrite is atomic per run.
+unconsumed files; the fold is idempotent (versioned snapshots + atomic
+commit markers — a replayed committed batch is skipped, a crashed one is
+recomputed from the last committed version). --store and --checkpoint are
+a PAIR: batch ids from the checkpoint drive the store's version numbers,
+so never point a fresh checkpoint at an existing store.
 """
 
 from __future__ import annotations
@@ -61,7 +65,12 @@ def main(argv: list[str] | None = None) -> None:
         value_col=args.value_col,
     )
     m = TierMaintainer(args.store, value_col=args.value_col)
-    rows = {t: m.read_tier(spark, t).count() for t in m.tiers}
+    # a run before any data landed commits nothing — that is a successful
+    # no-op, not an error
+    if m.committed_version(spark) is None:
+        rows = {}
+    else:
+        rows = {t: m.read_tier(spark, t).count() for t in m.tiers}
     print(json.dumps({"wall_sec": round(time.time() - t0, 2), "tier_rows": rows}))
     spark.stop()
 

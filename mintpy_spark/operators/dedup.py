@@ -91,8 +91,12 @@ def minhash_signatures(
     per-doc minima that never needed to leave the row. Docs with no
     tokens are excluded (same semantics as the grouped form, where they
     had no rows to aggregate)."""
+    # filter on the CHEAP raw token array BEFORE projecting the hash
+    # transform: a filter on size(_hm) would be predicate-pushed below the
+    # projection, re-inlining the md5 transform into the Filter and
+    # hashing every token twice
     hm = F.transform(tokens(text_col), lambda t: token_hash(t) % HASH_P)
-    staged = docs.select(id_col, hm.alias("_hm")).where(F.size("_hm") > 0)
+    staged = docs.where(F.size(tokens(text_col)) > 0).select(id_col, hm.alias("_hm"))
     mins = [
         F.array_min(
             F.transform(F.col("_hm"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
@@ -178,7 +182,8 @@ def simhash(
     (doc, token)); the signature-sized output is repartitioned so a
     single-file scan cannot serialize downstream self-joins."""
     hv = F.transform(tokens(text_col), lambda t: token_hash(t))
-    staged = docs.select(id_col, hv.alias("_hv")).where(F.size("_hv") > 0)
+    # cheap-filter-first, same reason as minhash_signatures
+    staged = docs.where(F.size(tokens(text_col)) > 0).select(id_col, hv.alias("_hv"))
     votes = [
         F.aggregate(
             F.col("_hv"),

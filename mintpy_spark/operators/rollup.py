@@ -27,36 +27,55 @@ from mintpy_spark.functions.timefn import TIER_SECONDS, bucket_start
 PARTIAL_COLS = ("cnt", "vsum", "vmin", "vmax")
 
 
+def _partial_cols(df: DataFrame) -> list[str]:
+    """PARTIAL_COLS plus any optional extensions the frame carries
+    (currently: vsumsq for variance-capable tiers)."""
+    cols = list(PARTIAL_COLS)
+    if "vsumsq" in df.columns:
+        cols.append("vsumsq")
+    return cols
+
+
 def _merge_partials(df: DataFrame, key: str) -> DataFrame:
-    """The ONE partial-merge spec (cnt/vsum add, vmin/vmax combine) shared
-    by cascade() and rollup_to_width(); df must carry (key, bucket_start,
-    *PARTIAL_COLS). Extend partials (e.g. a sum-of-squares column for
-    variance) here and in rollup_from_obs/merge_tier_delta only."""
-    return df.groupBy(key, "bucket_start").agg(
+    """The ONE partial-merge spec (cnt/vsum add, vmin/vmax combine,
+    vsumsq add when present) shared by cascade() and rollup_to_width();
+    df must carry (key, bucket_start, *PARTIAL_COLS[, vsumsq])."""
+    aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("vsum").alias("vsum"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
-    )
+    ]
+    if "vsumsq" in df.columns:
+        aggs.append(F.sum("vsumsq").alias("vsumsq"))
+    return df.groupBy(key, "bucket_start").agg(*aggs)
 
 
 def rollup_from_obs(
-    obs: DataFrame, value_col: str, tier: str = "1h", key: str = "url", ts: str = "warc_ts"
+    obs: DataFrame, value_col: str, tier: str = "1h", key: str = "url",
+    ts: str = "warc_ts", with_sq: bool = False,
 ) -> DataFrame:
-    """Raw observations -> finest tier partials (key, bucket_start, cnt, vsum, vmin, vmax)."""
+    """Raw observations -> finest tier partials (key, bucket_start, cnt,
+    vsum, vmin, vmax[, vsumsq]). ``with_sq`` adds the sum-of-squares
+    partial IN THE SAME aggregation (one scan, one shuffle) so the tier
+    can answer variance/std/rms; every downstream operator (cascade,
+    merge_tier_delta, refresh) carries it automatically."""
+    aggs = [
+        F.count("v").alias("cnt"),
+        F.sum("v").alias("vsum"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    ]
+    if with_sq:
+        aggs.append(F.sum(F.col("v") * F.col("v")).alias("vsumsq"))
     return (
         obs.select(
             key,
             bucket_start(F.col(ts), tier).alias("bucket_start"),
-            F.col(value_col).alias("v"),
+            F.col(value_col).cast("double").alias("v"),
         )
         .groupBy(key, "bucket_start")
-        .agg(
-            F.count("v").alias("cnt"),
-            F.sum("v").alias("vsum"),
-            F.min("v").alias("vmin"),
-            F.max("v").alias("vmax"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -71,7 +90,7 @@ def cascade(tier_df: DataFrame, to_tier: str, key: str = "url") -> DataFrame:
         tier_df.select(
             key,
             bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
-            *PARTIAL_COLS,
+            *_partial_cols(tier_df),
         ),
         key,
     )
@@ -126,9 +145,11 @@ def merge_tier_delta(
     Exactness: cnt/min/max exact; vsum regroups the float addition tree —
     within 1 ulp of a full recompute (same bound as cascade()).
     """
-    d = rollup_from_obs(delta_obs, value_col, tier, key=key, ts=ts)
-    s = stored.select(key, "bucket_start", *[F.col(c).alias(f"_s_{c}") for c in PARTIAL_COLS])
-    dd = d.select(key, "bucket_start", *[F.col(c).alias(f"_d_{c}") for c in PARTIAL_COLS])
+    with_sq = "vsumsq" in stored.columns
+    d = rollup_from_obs(delta_obs, value_col, tier, key=key, ts=ts, with_sq=with_sq)
+    pcols = _partial_cols(stored)
+    s = stored.select(key, "bucket_start", *[F.col(c).alias(f"_s_{c}") for c in pcols])
+    dd = d.select(key, "bucket_start", *[F.col(c).alias(f"_d_{c}") for c in pcols])
     j = s.join(dd, [key, "bucket_start"], "full")
     zero = F.lit(0)
     cnt = F.coalesce("_s_cnt", zero) + F.coalesce("_d_cnt", zero)
@@ -138,7 +159,7 @@ def merge_tier_delta(
         cnt > 0,
         F.coalesce("_s_vsum", F.lit(0.0)) + F.coalesce("_d_vsum", F.lit(0.0)),
     )
-    return j.select(
+    out_cols = [
         key,
         "bucket_start",
         cnt.alias("cnt"),
@@ -149,7 +170,15 @@ def merge_tier_delta(
         F.greatest(
             F.coalesce("_s_vmax", F.col("_d_vmax")), F.coalesce("_d_vmax", F.col("_s_vmax"))
         ).alias("vmax"),
-    )
+    ]
+    if with_sq:
+        out_cols.append(
+            F.when(
+                cnt > 0,
+                F.coalesce("_s_vsumsq", F.lit(0.0)) + F.coalesce("_d_vsumsq", F.lit(0.0)),
+            ).alias("vsumsq")
+        )
+    return j.select(*out_cols)
 
 
 def parse_width(spec: str) -> int:
@@ -193,7 +222,8 @@ def rollup_to_width(tier_df: DataFrame, spec: str, key: str = "url") -> DataFram
         (b.cast("long") - F.pmod(b.cast("long"), F.lit(width)))
     )
     return _merge_partials(
-        tier_df.select(key, anchored.alias("bucket_start"), *PARTIAL_COLS), key
+        tier_df.select(key, anchored.alias("bucket_start"), *_partial_cols(tier_df)),
+        key,
     )
 
 
@@ -258,39 +288,14 @@ def rollup_with_sq(
     obs: DataFrame, value_col: str, tier: str = "1h", key: str = "url",
     ts: str = "warc_ts",
 ) -> DataFrame:
-    """Tier partials EXTENDED with the sum-of-squares (vsumsq): with
-    (cnt, vsum, vsumsq) every tier can answer mean/variance/std/rms
-    queries without touching raw data — var_pop = vsumsq/cnt -
-    (vsum/cnt)^2, rms = sqrt(vsumsq/cnt). vsumsq is as decomposable as
-    vsum, so cascade/merge work identically (sq_cascade below)."""
-    base = rollup_from_obs(obs, value_col, tier, key=key, ts=ts)
-    sq = (
-        obs.select(
-            key,
-            bucket_start(F.col(ts), tier).alias("bucket_start"),
-            (F.col(value_col).cast("double") * F.col(value_col)).alias("v2"),
-        )
-        .groupBy(key, "bucket_start")
-        .agg(F.sum("v2").alias("vsumsq"))
-    )
-    return base.join(sq, [key, "bucket_start"])
+    """Variance-capable tier: rollup_from_obs(with_sq=True) — ONE scan and
+    shuffle produce (cnt, vsum, vmin, vmax, vsumsq); var_pop = vsumsq/cnt
+    - (vsum/cnt)^2, rms = sqrt(vsumsq/cnt), and the vsumsq partial flows
+    through cascade/merge_tier_delta/refresh automatically."""
+    return rollup_from_obs(obs, value_col, tier, key=key, ts=ts, with_sq=True)
 
 
 def sq_cascade(tier_df: DataFrame, to_tier: str, key: str = "url") -> DataFrame:
-    """cascade() for the sum-of-squares-extended partials."""
-    return (
-        tier_df.select(
-            key,
-            bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
-            *PARTIAL_COLS,
-            "vsumsq",
-        )
-        .groupBy(key, "bucket_start")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("vsum").alias("vsum"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-            F.sum("vsumsq").alias("vsumsq"),
-        )
-    )
+    """Alias of cascade(): the partial-merge seam carries vsumsq when the
+    frame has it."""
+    return cascade(tier_df, to_tier, key=key)

@@ -541,8 +541,7 @@ _STOPWORDS = (
     f"""
     SELECT doc_id,
            CAST(nsw AS BIGINT)  AS n_stop,
-           CAST(ntok AS BIGINT) AS n_tok,
-           ROUND(CAST(nsw AS DOUBLE) / ntok, 4) AS stop_ratio
+           CAST(ntok AS BIGINT) AS n_tok
     FROM (
       SELECT doc_id,
              len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS nsw,
@@ -558,8 +557,10 @@ _STOPWORDS = (
 def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio quality score (the classic fluency heuristic: human
     prose carries ~30-60% function words, keyword spam and boilerplate far
-    less). Counts are integers — exact cross-engine; the ratio divides two
-    exact ints so both engines round the same double."""
+    less). Compared as the INTEGER (n_stop, n_tok) partials — exact
+    cross-engine; the ratio is derived, never hash-compared (a rounded
+    quotient can land on half-way points where engine rounding
+    conventions diverge)."""
     d = load(spark, sf_dir, "documents")
     sw = F.array([F.lit(w) for w in _STOPWORDS])
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
@@ -572,6 +573,5 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             nsw.cast("long").alias("n_stop"),
             ntok.cast("long").alias("n_tok"),
-            F.round(nsw.cast("double") / ntok, 4).alias("stop_ratio"),
         )
     )

@@ -3,11 +3,26 @@
 ``readStream(pages/obs dir) -> foreachBatch(refresh_tiers_incremental)``:
 each micro-batch is a late/new-observation delta folded into the STORED
 tier tables by partial-wise merge (finest tier) + dirty-bucket cascade
-refresh (coarser tiers) — see operators/rollup.py. The stored tables live
-in a TableStore (partition-atomic overwrite); the streaming checkpoint
-makes batch delivery exactly-once, so the maintained tiers equal a batch
-rebuild over everything ever ingested (verified by
-tests/test_streaming.py::test_streaming_tier_maintenance...).
+refresh (coarser tiers) — see operators/rollup.py.
+
+Crash safety — foreachBatch is only AT-LEAST-once (the stream checkpoint
+commits after the callback returns), so the fold must be idempotent and
+the store must never be half-written. Both come from versioned snapshots
+with atomic commit markers:
+
+* batch N writes ALL tiers into a fresh ``v{N}/`` directory set computed
+  from the last COMMITTED version, then atomically creates the marker
+  ``_commits/v{N}`` (single-file create);
+* a replay of batch N after the marker exists is skipped outright;
+* a crash before the marker leaves the previous version authoritative —
+  the replay recomputes v{N} from it and overwrites the orphan dirs;
+* readers resolve the max committed marker, so they never observe a
+  partial write. Old versions are garbage-collected, keeping the last
+  two. (On the target deployment Iceberg snapshot commits provide exactly
+  this; the marker scheme is the same protocol over a filesystem.)
+
+The maintained tiers therefore equal a batch rebuild over everything ever
+ingested (verified by tests/test_streaming.py, including a replay test).
 
 Why foreachBatch and not a streaming aggregation: the watermark path
 (rollup_stream.py) FINALIZES buckets and drops later arrivals — right for
@@ -51,57 +66,102 @@ class TierMaintainer:
         # each refresh touched and when
         self.metrics = CheckpointTable(f"{root}/_maintenance_metrics")
 
-    def _path(self, tier: str) -> str:
-        return f"{self.root}/tier_{tier}"
+    # -- filesystem helpers (hadoop FS API: works for any Spark-supported
+    #    filesystem, not just local paths) --------------------------------
 
-    def _exists(self, spark: SparkSession, tier: str) -> bool:
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(self._path(tier))
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jvm_path))
+    def _fs(self, spark: SparkSession, path: str):
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+    def committed_version(self, spark: SparkSession) -> int | None:
+        """Highest batch id with a commit marker, or None."""
+        fs, p = self._fs(spark, f"{self.root}/_commits")
+        if not fs.exists(p):
+            return None
+        best = None
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v"):
+                v = int(name[1:])
+                best = v if best is None or v > best else best
+        return best
+
+    def _version_path(self, version: int, tier: str) -> str:
+        return f"{self.root}/v{version:012d}/tier_{tier}"
 
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
-        return spark.read.parquet(self._path(tier))
+        ver = self.committed_version(spark)
+        if ver is None:
+            raise FileNotFoundError(f"no committed tier version under {self.root}")
+        return spark.read.parquet(self._version_path(ver, tier))
+
+    def _commit(self, spark: SparkSession, version: int) -> None:
+        fs, marker = self._fs(spark, f"{self.root}/_commits/v{version:012d}")
+        fs.mkdirs(marker.getParent())
+        out = fs.create(marker, True)
+        out.close()
+
+    def _gc(self, spark: SparkSession, keep_from: int) -> None:
+        """Drop version dirs older than the previous committed version."""
+        fs, root = self._fs(spark, self.root)
+        if not fs.exists(root):
+            return
+        versions = sorted(
+            int(st.getPath().getName()[1:])
+            for st in fs.listStatus(root)
+            if st.getPath().getName().startswith("v")
+            and st.getPath().getName()[1:].isdigit()
+        )
+        for v in versions[:-2]:  # keep latest + previous
+            _fs2, p = self._fs(spark, f"{self.root}/v{v:012d}")
+            fs.delete(p, True)
 
     def apply_delta(self, delta_obs: DataFrame, batch_id: int = 0) -> None:
-        """One maintenance step: merge the delta into every stored tier.
-
-        First batch bootstraps the tier tables from the delta alone.
-        Results are materialized (the refresh reads the CURRENT stored
-        tables, so the write must not overlap the read) and written
-        atomically per tier via overwrite.
-        """
+        """One idempotent maintenance step: merge the delta into a NEW
+        tier version computed from the last COMMITTED version, then commit
+        atomically. Replays of an already-committed batch are skipped;
+        replays of a crashed batch recompute from the still-authoritative
+        previous version (see module docstring)."""
         spark = delta_obs.sparkSession
+        committed = self.committed_version(spark)
+        if committed is not None and committed >= batch_id:
+            return  # replay of a committed batch: already folded
         if delta_obs.isEmpty():
             return
-        if not self._exists(spark, self.tiers[0]):
+        if committed is None:
             new = build_tiers(
                 delta_obs, self.value_col, tiers=self.tiers,
                 key=self.key, ts=self.ts,
             )
         else:
-            stored = {t: self.read_tier(spark, t) for t in self.tiers}
+            stored = {
+                t: spark.read.parquet(self._version_path(committed, t))
+                for t in self.tiers
+            }
             new = refresh_tiers_incremental(
                 stored, delta_obs, self.value_col, tiers=self.tiers,
                 key=self.key, ts=self.ts,
             )
-        # materialize EVERY tier before writing ANY: each coarser tier's
-        # plan reads the finer stored table, so overwriting tier_1h before
-        # tier_1d materializes would make tier_1d re-read replaced files
-        # (FAILED_READ_FILE). localCheckpoint(eager) snapshots them all
-        # against the pre-write state.
         import time as _time
 
         t0 = _time.time()
+        # materialize before writing: the plans read the committed version
+        # (never overwritten here, so a crashed partial write of v{N}
+        # cannot corrupt what a replay reads)
         materialized = {t: new[t].localCheckpoint(eager=True) for t in self.tiers}
         for t in self.tiers:
-            materialized[t].write.mode("overwrite").parquet(self._path(t))
+            materialized[t].write.mode("overwrite").parquet(
+                self._version_path(batch_id, t)
+            )
+        self._commit(spark, batch_id)
+        self._gc(spark, batch_id)
         wall_ms = int((_time.time() - t0) * 1000)
         self.metrics.append(
             [
                 {
                     "run_id": f"batch{batch_id}",
                     "stage": f"maintain_{t}",
-                    "part_id": 0,
+                    "part_id": int(batch_id),
                     "input_fp": "delta",
                     "row_count": int(materialized[t].count()),
                     "wall_ms": wall_ms,

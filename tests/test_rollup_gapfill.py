@@ -275,3 +275,26 @@ def test_variance_from_tier_partials(spark, obs):
     j = derived.join(direct, ["url", "bucket_start"])
     bad = j.where(F.abs(F.col("std_p") - F.col("std_d")) > 1e-6).count()
     assert bad == 0 and j.count() > 0
+
+
+def test_vsumsq_flows_through_incremental_merge(spark, obs):
+    """The variance partial must survive merge_tier_delta (the seam
+    extension): merged variance tier == from-scratch variance tier."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.rollup import merge_tier_delta, rollup_with_sq
+
+    cut = obs.agg(F.percentile_approx("warc_ts", 0.7).alias("c")).first()["c"]
+    base = rollup_with_sq(obs.where(F.col("warc_ts") < F.lit(cut)), "text_length")
+    merged = merge_tier_delta(
+        base, obs.where(F.col("warc_ts") >= F.lit(cut)), "text_length"
+    )
+    assert "vsumsq" in merged.columns
+    full = rollup_with_sq(obs, "text_length")
+    j = merged.alias("m").join(full.alias("f"), ["url", "bucket_start"], "full")
+    bad = j.where(
+        F.col("m.vsumsq").isNull()
+        | F.col("f.vsumsq").isNull()
+        | (F.abs(F.col("m.vsumsq") - F.col("f.vsumsq")) > 1e-4)
+    ).count()
+    assert bad == 0

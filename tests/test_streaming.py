@@ -199,3 +199,35 @@ def test_streaming_tier_maintenance_equals_batch_rebuild(spark, paths):
             | (F.abs(F.col("g.vsum") - F.col("w.vsum")) > 1e-6)
         ).count()
         assert bad == 0, t
+
+
+def test_tier_maintenance_replay_is_idempotent(spark, paths):
+    """foreachBatch is at-least-once: re-applying an already-committed
+    batch must be a no-op (the crash-replay window), and a crashed batch
+    (tiers written, marker missing) must recompute cleanly."""
+    inp, store_root, ckpt = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    rows = [("u1", dt.datetime(2023, 1, 1, h), 10 + h) for h in range(6)]
+    delta = spark.createDataFrame(rows, sch)
+
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    m = TierMaintainer(store_root)
+    m.apply_delta(delta, batch_id=0)
+    before = {t: m.read_tier(spark, t).collect() for t in m.tiers}
+    # replay of the committed batch: must not double-fold
+    m.apply_delta(delta, batch_id=0)
+    after = {t: m.read_tier(spark, t).collect() for t in m.tiers}
+    assert {t: sorted(map(tuple, v)) for t, v in before.items()} == {
+        t: sorted(map(tuple, v)) for t, v in after.items()
+    }
+    # simulate a crashed batch 1: version dir written, no marker -> the
+    # committed version stays 0 and a replay recomputes from it
+    delta2 = spark.createDataFrame(
+        [("u1", dt.datetime(2023, 1, 2, h), 50 + h) for h in range(3)], sch
+    )
+    assert m.committed_version(spark) == 0
+    m.apply_delta(delta2, batch_id=1)
+    assert m.committed_version(spark) == 1
+    total = m.read_tier(spark, "1h").agg(F.sum("cnt")).first()[0]
+    assert total == 9  # 6 + 3, no double counting anywhere
