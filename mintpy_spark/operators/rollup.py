@@ -299,3 +299,80 @@ def sq_cascade(tier_df: DataFrame, to_tier: str, key: str = "url") -> DataFrame:
     """Alias of cascade(): the partial-merge seam carries vsumsq when the
     frame has it."""
     return cascade(tier_df, to_tier, key=key)
+
+
+def histogram_tier(
+    obs: DataFrame, value_col: str, lo: float, hi: float, nbins: int,
+    tier: str = "1h", key: str = "url", ts: str = "warc_ts",
+) -> DataFrame:
+    """Distribution-sketch tier in LONG format: (key, bucket_start, bin,
+    cnt) with fixed-width bins over [lo, hi) (underflow bin 0, overflow
+    bin nbins+1). Bin counts are decomposable partials like cnt/vsum, so
+    coarser tiers cascade by summation (cascade_histogram) and any tier
+    answers approximate quantiles/CDF without raw data: quantile(q) =
+    first bin where the cumulative count crosses q * total (error <= one
+    bin width). The long format keeps the bin dimension a group-by key —
+    no wide schemas, no arrays to merge."""
+    width = (hi - lo) / nbins
+    v = F.col(value_col).cast("double")
+    b = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(nbins + 1))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)) + 1)
+        .cast("int")
+    )
+    return (
+        obs.select(
+            key,
+            bucket_start(F.col(ts), tier).alias("bucket_start"),
+            b.alias("bin"),
+        )
+        .groupBy(key, "bucket_start", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cascade_histogram(
+    hist_df: DataFrame, to_tier: str, key: str = "url"
+) -> DataFrame:
+    """Re-aggregate histogram-tier partials into a coarser tier."""
+    return (
+        hist_df.select(
+            key,
+            bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
+            "bin",
+            "cnt",
+        )
+        .groupBy(key, "bucket_start", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantile_from_histogram(
+    hist_df: DataFrame, q: float, lo: float, hi: float, nbins: int,
+    key: str = "url",
+) -> DataFrame:
+    """(key, bucket_start, q_approx): smallest bin upper edge whose
+    cumulative count reaches q * total — within one bin width of an
+    actual rank-q element WHEN that element lies in [lo, hi); quantiles
+    landing in the clipped under/overflow bins report the range edge
+    (pick [lo, hi) to cover the data, as with any fixed-range sketch)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    w = (
+        Window.partitionBy(key, "bucket_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(key, "bucket_start")
+    cum = F.sum("cnt").over(w)
+    total = F.sum("cnt").over(tot)
+    edge = F.lit(lo) + F.col("bin").cast("double") * F.lit(width)  # bin upper edge
+    hit = hist_df.withColumn("_cum", cum).withColumn("_tot", total).where(
+        F.col("_cum") >= F.lit(q) * F.col("_tot")
+    )
+    return (
+        hit.groupBy(key, "bucket_start")
+        .agg(F.min(edge).alias("q_approx"))
+    )

@@ -564,3 +564,28 @@ def rollup_1d_variance_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vsum", 2).alias("vsum"),
         F.round("vsumsq", 4).alias("vsumsq"),
     )
+
+
+@_q(
+    "rollup_1d_histogram",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 100.0 THEN 21
+                ELSE CAST(floor(value / 5.0) AS INT) + 1 END AS bin,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def rollup_1d_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-sketch tier: 1d per-key value histograms CASCADED from
+    the 1h histogram tier (bin counts are decomposable partials), checked
+    against direct binning — any tier answers approx quantiles/CDF from
+    this sketch without raw reads."""
+    from mintpy_spark.operators.rollup import cascade_histogram, histogram_tier
+
+    ev = load(spark, sf_dir, "events")
+    h1h = histogram_tier(ev, "value", 0.0, 100.0, 20, "1h", key="user_id", ts="ts")
+    h1d = cascade_histogram(h1h, "1d", key="user_id")
+    return h1d.select("user_id", "bucket_start", "bin", "cnt")
