@@ -33,15 +33,23 @@ def asof_join(
     ts: str,
     value_cols: list[str] | None = None,
     right_ts_alias: str = "asof_ts",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Attach to each ``left`` row the latest ``right`` row with
-    ``right.ts <= left.ts`` (per key). NULLs where no prior row exists.
+    """Attach to each ``left`` row the nearest ``right`` row per key:
+    ``direction='backward'`` (default) the latest with right.ts <= left.ts,
+    ``direction='forward'`` the earliest with right.ts >= left.ts. NULLs
+    where no such row exists. Both directions are the same one-shuffle
+    union-sort-window scan, mirrored: the tie ordering puts obs before
+    probe (backward) or after (forward) so an observation at exactly the
+    probe timestamp matches in either direction.
 
     ``value_cols`` defaults to every right column except key/ts. If the
-    right side has several rows at one (key, ts), the window keeps the last
-    in (ts, tag) order within that timestamp — deduplicate upstream if that
-    ambiguity matters (the oracle data is unique per (key, ts)).
+    right side has several rows at one (key, ts), the window keeps the
+    nearest in scan order within that timestamp — deduplicate upstream if
+    that ambiguity matters (the oracle data is unique per (key, ts)).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
 
@@ -55,15 +63,24 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(ts).alias("_r_ts"),
     )
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_is_probe").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("_is_probe").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("_is_probe").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = obs.unionByName(probes).select(
         key, ts, "_is_probe",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_f_ts"),
+        *[pick(f"_r_{c}").alias(f"_f_{c}") for c in value_cols],
+        pick("_r_ts").alias("_f_ts"),
     )
     out_cols = [key, ts] + [F.col(f"_f_{c}").alias(c) for c in value_cols]
     out_cols.append(F.col("_f_ts").alias(right_ts_alias))

@@ -615,3 +615,28 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     rms = epoch_std_rms(ev, "value", time_col="day").select("day", "rms")
     out = mad_outlier_epochs(rms, cutoff=1.0, time_col="day")
     return out.select("day", F.round("rms", 4).alias("rms"))
+
+
+@_q(
+    "asof_next_click_after_purchase",
+    """
+    SELECT p.user_id, p.ts,
+           ROUND(c.value, 4) AS value,
+           c.ts              AS asof_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each purchase, the earliest subsequent click —
+    the mirrored one-shuffle union-sort-window scan, oracle = DuckDB's
+    forward ASOF JOIN (p.ts <= c.ts)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", value_cols=["value"],
+        direction="forward",
+    )
+    return out.select("user_id", "ts", F.round("value", 4).alias("value"), "asof_ts")
