@@ -106,3 +106,28 @@ def test_block_pack_unpack_byte_identical_text(spark, pages):
     ).count() == 0
     # block table is much smaller than the obs table
     assert blocks.count() < obs.count() / 3
+
+
+def test_retention_split_and_restore_lossless(spark, obs):
+    """apply_retention splits hot/cold; restore() reproduces the original
+    series exactly (float64 block dtype -> bit-identical values)."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.retention import apply_retention, restore
+
+    src = obs.select(
+        F.col("url").cast("string").alias("url"),
+        "warc_ts",
+        F.col("text_length").cast("double").alias("text_length"),
+    )
+    split = apply_retention(src, "text_length", raw_days=60)
+    n_raw = split["raw"].count()
+    n_cold_pts = split["cold"].agg(F.sum("n")).first()[0]
+    assert n_raw > 0 and n_cold_pts > 0
+    assert n_raw + n_cold_pts == src.count()
+    # cold tier genuinely compresses vs the long rows it encodes
+    back = restore(split, "text_length")
+    assert back.count() == src.count()
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
