@@ -329,3 +329,67 @@ def ivf_oracle_sql(
     ORDER BY cos_sim DESC, e.{id_col} ASC
     LIMIT {k}
     """
+
+
+def kmeans_refine(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]],
+    iterations: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the IVF centroid table: assign -> per-bucket
+    mean vector -> repeat. Deterministic: init is the deterministic sample
+    (load_centroids), assignment ties break to the lowest centroid id
+    (ivf_assign), and the mean is computed per (bucket, dimension) — a
+    posexplode + groupBy average whose result does not depend on row
+    order beyond float summation (stable to ~1 ulp; the refined centroids
+    are driver-side literals thereafter, so downstream assignment is
+    exactly reproducible from them).
+
+    Each iteration is two bounded jobs (assign projection + one
+    aggregation of C x dim cells); empty buckets keep their previous
+    centroid (the standard Lloyd convention)."""
+    import numpy as np
+
+    cents = centroids
+    dim = len(cents[0][1])
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, cents, vec_col)
+        means = (
+            assigned.select(
+                "ivf_bucket",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("pos", "x"),
+            )
+            .groupBy("ivf_bucket", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_bucket: dict[int, np.ndarray] = {}
+        for r in means:
+            by_bucket.setdefault(r.ivf_bucket, np.zeros(dim))[r.pos] = r.m
+        cents = [
+            (cid, list(by_bucket.get(cid, np.array(cvec, dtype=float))))
+            for cid, cvec in cents
+        ]
+    return cents
+
+
+def kmeans_inertia(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 - cosine-to-assigned-centroid) — the spherical-k-means
+    objective the refinement minimizes; exposed for tuning/tests."""
+    assigned = ivf_assign(emb, centroids, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    import math
+
+    score = None
+    for cid, cvec in centroids:
+        s = _dot_literal(v, cvec) / (
+            _vnorm(v) * F.lit(math.sqrt(sum(x * x for x in cvec)))
+        )
+        term = F.when(F.col("ivf_bucket") == cid, F.lit(1.0) - s)
+        score = term if score is None else F.coalesce(score, term)
+    row = assigned.agg(F.avg(score).alias("inertia")).first()
+    return float(row["inertia"])

@@ -271,3 +271,36 @@ def test_components_close_transitive_chains(spark):
         for r in D.dedup_components(ids, pairs, iterations=3).collect()
     }
     assert got3[4] != 0
+
+
+def test_kmeans_refinement_reduces_inertia_and_matches_numpy(spark):
+    """Lloyd refinement: inertia is non-increasing, and one refined
+    iteration matches a NumPy replica of assign->mean."""
+    rng = np.random.default_rng(31)
+    # three well-separated clusters
+    centers = rng.normal(size=(3, 8)) * 5
+    vecs = np.vstack([
+        centers[i % 3] + rng.normal(size=8) * 0.3 for i in range(90)
+    ]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    init = S.load_centroids(df, num_centroids=3)
+    i0 = S.kmeans_inertia(df, init)
+    refined = S.kmeans_refine(df, init, iterations=2)
+    i2 = S.kmeans_inertia(df, refined)
+    assert i2 <= i0 + 1e-12
+    # replicate one iteration in numpy
+    C = np.array([c for _cid, c in init])
+    V = vecs.astype(np.float64)
+    sims = (V @ C.T) / (
+        np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    labels = sims.argmax(axis=1)
+    expect = np.array([
+        V[labels == j].mean(axis=0) if (labels == j).any() else C[j]
+        for j in range(3)
+    ])
+    got1 = np.array([c for _cid, c in S.kmeans_refine(df, init, iterations=1)])
+    assert np.allclose(got1, expect, atol=1e-9)
