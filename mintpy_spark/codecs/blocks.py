@@ -88,9 +88,10 @@ def pack_blocks(
 
     prepped = obs.select(
         F.col(key).alias(key),
-        (F.col(ts).cast("timestamp").cast("double") * 1_000_000)
-        .cast("long")
-        .alias("_ts_us"),
+        # unix_micros, NOT cast-double*1e6: the double path truncates one
+        # microsecond low when fl(fl(M/1e6)*1e6) < M (double ulp at epoch
+        # scale is ~0.24us) — lossless restore requires the exact integer
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("_ts_us"),
         bucket_start(F.col(ts), window).alias("_win"),
         *( [F.col(value_col)] if text_col is None else [F.col(value_col), F.col(text_col)] ),
     )

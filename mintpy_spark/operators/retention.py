@@ -56,8 +56,12 @@ def apply_retention(
     else:
         cut = F.lit(horizon).cast("timestamp")
         obs = obs.withColumn("_h", cut)
-    raw = obs.where(F.col(ts) >= F.col("_h")).drop("_h")
-    old = obs.where(F.col(ts) < F.col("_h")).drop("_h")
+    # rows with NULL ts or NULL value stay in the raw tier: the cold
+    # codec would drop the former (both range predicates are null-false)
+    # and NaN the latter — either silently breaks the lossless contract
+    clean = F.col(ts).isNotNull() & F.col(value_col).isNotNull()
+    raw = obs.where(~clean | (F.col(ts) >= F.col("_h"))).drop("_h")
+    old = obs.where(clean & (F.col(ts) < F.col("_h"))).drop("_h")
     # float64 blocks by default: a retention store must be LOSSLESS (the
     # codec's float32 default mirrors the reference compute dtype, which
     # is a compute choice, not a storage one)

@@ -368,7 +368,11 @@ def quantile_from_histogram(
     tot = Window.partitionBy(key, "bucket_start")
     cum = F.sum("cnt").over(w)
     total = F.sum("cnt").over(tot)
-    edge = F.lit(lo) + F.col("bin").cast("double") * F.lit(width)  # bin upper edge
+    # bin upper edge, capped at hi: the overflow bin (nbins+1) otherwise
+    # reports hi + width, outside the sketch's own range
+    edge = F.least(
+        F.lit(lo) + F.col("bin").cast("double") * F.lit(width), F.lit(float(hi))
+    )
     hit = hist_df.withColumn("_cum", cum).withColumn("_tot", total).where(
         F.col("_cum") >= F.lit(q) * F.col("_tot")
     )

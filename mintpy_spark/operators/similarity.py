@@ -203,7 +203,7 @@ def _cos_to_literal(vec_col: Column, cvec: list[float]) -> Column:
 
 def ivf_assign(
     emb: DataFrame, centroids: list[tuple[int, list[float]]],
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", keep_scores: bool = False,
 ) -> DataFrame:
     """Attach ``ivf_bucket``: argmax-cosine centroid id, lowest id on ties.
 
@@ -228,7 +228,10 @@ def ivf_assign(
     )
     staged = staged.withColumn("_cs", scores)
     bucket = (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1).cast("int")
-    return staged.withColumn("ivf_bucket", bucket).drop("_cs", "_v", "_vn")
+    out = staged.withColumn("ivf_bucket", bucket)
+    if keep_scores:
+        return out.drop("_v", "_vn")
+    return out.drop("_cs", "_v", "_vn")
 
 
 def load_centroids(
@@ -353,13 +356,15 @@ def kmeans_refine(
     dim = len(cents[0][1])
     for _ in range(iterations):
         assigned = ivf_assign(emb, cents, vec_col)
+        # SPHERICAL update: average the norm-NORMALIZED vectors — the
+        # Lloyd step that matches the cosine assignment/objective (an
+        # unnormalized mean lets one large-norm vector tilt the centroid
+        # and the cosine inertia can INCREASE)
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        unit = F.transform(v, lambda x: x / _vnorm(v))
         means = (
-            assigned.select(
-                "ivf_bucket",
-                F.posexplode(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                ).alias("pos", "x"),
-            )
+            assigned.withColumn("_unit", unit)
+            .select("ivf_bucket", F.posexplode("_unit").alias("pos", "x"))
             .groupBy("ivf_bucket", "pos")
             .agg(F.avg("x").alias("m"))
             .collect()
@@ -379,17 +384,11 @@ def kmeans_inertia(
     vec_col: str = "embedding",
 ) -> float:
     """Mean (1 - cosine-to-assigned-centroid) — the spherical-k-means
-    objective the refinement minimizes; exposed for tuning/tests."""
-    assigned = ivf_assign(emb, centroids, vec_col)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    import math
-
-    score = None
-    for cid, cvec in centroids:
-        s = _dot_literal(v, cvec) / (
-            _vnorm(v) * F.lit(math.sqrt(sum(x * x for x in cvec)))
-        )
-        term = F.when(F.col("ivf_bucket") == cid, F.lit(1.0) - s)
-        score = term if score is None else F.coalesce(score, term)
-    row = assigned.agg(F.avg(score).alias("inertia")).first()
+    objective the refinement minimizes. Reuses the score array ivf_assign
+    already staged: the assigned bucket IS argmax(_cs), so the objective
+    is avg(1 - array_max(_cs)) — no re-scoring."""
+    assigned = ivf_assign(emb, centroids, vec_col, keep_scores=True)
+    row = assigned.agg(
+        F.avg(F.lit(1.0) - F.array_max("_cs")).alias("inertia")
+    ).first()
     return float(row["inertia"])

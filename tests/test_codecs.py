@@ -131,3 +131,50 @@ def test_retention_split_and_restore_lossless(spark, obs):
     a = {tuple(r) for r in src.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_retention_null_rows_stay_raw(spark):
+    """NULL ts / NULL value rows must surface in the raw tier, not vanish
+    (the cold codec can represent neither)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.operators.retention import apply_retention, restore
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "a", "a", "a"],
+            "warc_ts": [
+                pd.Timestamp("2023-01-01"),
+                pd.Timestamp("2023-06-01"),
+                pd.NaT,
+                pd.Timestamp("2023-01-02"),
+            ],
+            "text_length": [1.0, 2.0, 3.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    split = apply_retention(df, "text_length", horizon="2023-05-01")
+    raw_rows = split["raw"].collect()
+    assert len(raw_rows) == 3  # recent + null-ts + null-value
+    assert split["cold"].agg(F.sum("n")).first()[0] == 1
+    assert restore(split, "text_length").count() == 4
+
+
+def test_block_timestamps_roundtrip_exact_microseconds(spark):
+    """Adversarial microsecond components (incl. values near the double
+    truncation boundary) must round-trip bit-exactly."""
+    import pandas as pd
+
+    from mintpy_spark.codecs.blocks import pack_blocks, unpack_blocks
+
+    ts = [
+        pd.Timestamp("2023-01-01 00:00:00.000001"),
+        pd.Timestamp("2023-01-01 00:00:00.999999"),
+        pd.Timestamp("2026-02-28 23:59:59.777777"),
+        pd.Timestamp("2033-05-18 03:33:20.000001"),  # epoch 2e9 + 1us
+    ]
+    pdf = pd.DataFrame({"url": "u", "warc_ts": ts, "v": [1.0, 2.0, 3.0, 4.0]})
+    blocks = pack_blocks(spark.createDataFrame(pdf), "v", value_dtype="float64")
+    back = unpack_blocks(blocks).orderBy("warc_ts").collect()
+    assert [r.warc_ts for r in back] == sorted(ts)
