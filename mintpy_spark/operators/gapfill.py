@@ -72,9 +72,12 @@ def gapfill(
 
     mode='last_obs' -> step reconstruction; mode='linear' -> piecewise
     linear between real observations (flat extrapolation at the edges,
-    matching the reference's behavior of no model outside the network).
+    matching the reference's behavior of no model outside the network);
+    mode='nearest' -> the temporally closer of the surrounding real
+    observations, previous on exact ties (the reference's 'nearest'
+    resample/interp family, multilook.py nearest mode).
     """
-    if mode not in ("last_obs", "linear"):
+    if mode not in ("last_obs", "linear", "nearest"):
         raise ValueError(f"unknown gapfill mode {mode!r}")
     bucketed = bucketize(obs, value_col, tier, key=key, ts=ts)
     grid = dense_grid(bucketed, tier, key=key)
@@ -105,6 +108,21 @@ def gapfill(
     next_val = F.first("value", ignorenulls=True).over(w_fwd)
     next_ts = F.first(obs_sec, ignorenulls=True).over(w_fwd)
     t = F.col("bucket_start").cast("timestamp").cast("double")
+    if mode == "nearest":
+        nearest = F.when(
+            (t - prev_ts) <= (next_ts - t), prev_val
+        ).otherwise(next_val)
+        filled_val = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+            F.when(prev_val.isNull(), next_val)
+            .when(next_val.isNull(), prev_val)
+            .otherwise(nearest)
+        )
+        return joined.select(
+            key,
+            "bucket_start",
+            filled_val.alias("value"),
+            F.col("value").isNull().alias("filled"),
+        )
     interp = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
         F.when(prev_val.isNull(), next_val)
         .when(next_val.isNull(), prev_val)

@@ -589,3 +589,44 @@ def rollup_1d_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1h = histogram_tier(ev, "value", 0.0, 100.0, 20, "1h", key="user_id", ts="ts")
     h1d = cascade_histogram(h1h, "1d", key="user_id")
     return h1d.select("user_id", "bucket_start", "bin", "cnt")
+
+
+@_q(
+    "gapfill_nearest_1d",
+    _GAPFILL_BASE
+    + """
+    SELECT user_id, bucket_start,
+           ROUND(CASE
+             WHEN value IS NOT NULL THEN value
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             WHEN (epoch(bucket_start) - prev_t) <= (next_t - epoch(bucket_start))
+               THEN prev_v
+             ELSE next_v
+           END, 4) AS value,
+           value IS NULL AS filled
+    FROM (
+      SELECT user_id, bucket_start, value,
+        last_value(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(epoch(obs_ts) IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(epoch(obs_ts) IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM j
+    )
+    """,
+)
+def gapfill_nearest_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-observation gap-fill (the reference's 'nearest' interp
+    family): each missing grid cell takes the temporally closer real
+    observation, previous on exact ties."""
+    ev = load(spark, sf_dir, "events")
+    out = gapfill(ev, "value", tier="1d", mode="nearest", key="user_id", ts="ts")
+    return out.select("user_id", "bucket_start", _round4("value").alias("value"), "filled")
