@@ -575,3 +575,28 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ntok.cast("long").alias("n_tok"),
         )
     )
+
+
+@_q(
+    "olap_customers_with_purchases",
+    """
+    SELECT c_mktsegment, COUNT(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def olap_customers_with_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS with a pushed predicate) aggregated per segment —
+    the complement of the anti-join query; Catalyst plans LeftSemi with
+    the price filter pushed below the join build side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
