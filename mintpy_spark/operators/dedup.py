@@ -180,7 +180,12 @@ def simhash(
     per doc and each bit's vote is an aggregate() fold over it — zero
     shuffle (the old explode + groupBy form shuffled one row per
     (doc, token)); the signature-sized output is repartitioned so a
-    single-file scan cannot serialize downstream self-joins."""
+    single-file scan cannot serialize downstream self-joins.
+
+    ``bits`` may go up to 64: bit values are built with shiftleft on a
+    long (bit 63 is the sign bit, representable; a ``1 << 63`` Python
+    literal would overflow LongType at plan build)."""
+    assert 0 < bits <= 64, "simhash supports at most 64 bits (LongType)"
     hv = F.transform(tokens(text_col), lambda t: token_hash(t))
     # cheap-filter-first, same reason as minhash_signatures
     staged = docs.where(F.size(tokens(text_col)) > 0).select(id_col, hv.alias("_hv"))
@@ -194,8 +199,10 @@ def simhash(
         for b in range(bits)
     ]
     per_bit = staged.select(id_col, *votes)
+    one = F.lit(1).cast("long")
     value = sum(
-        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)
+        F.when(F.col(f"s{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
     )
     return per_bit.select(id_col, value.cast("long").alias("simhash")).repartition(
         F.col(id_col)

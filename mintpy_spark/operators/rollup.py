@@ -373,8 +373,14 @@ def quantile_from_histogram(
     edge = F.least(
         F.lit(lo) + F.col("bin").cast("double") * F.lit(width), F.lit(float(hi))
     )
-    hit = hist_df.withColumn("_cum", cum).withColumn("_tot", total).where(
-        F.col("_cum") >= F.lit(q) * F.col("_tot")
+    # drop the NULL bin histogram_tier emits for NULL/NaN values: NULLs
+    # sort first under orderBy('bin') and would inflate the cumulative
+    # and total counts, skewing the sketch quantile
+    hit = (
+        hist_df.where(F.col("bin").isNotNull())
+        .withColumn("_cum", cum)
+        .withColumn("_tot", total)
+        .where(F.col("_cum") >= F.lit(q) * F.col("_tot"))
     )
     return (
         hit.groupBy(key, "bucket_start")

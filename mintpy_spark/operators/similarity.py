@@ -259,8 +259,10 @@ def ivf_topk(
     cents = load_centroids(emb, id_col, vec_col, num_centroids)
     assigned = ivf_assign(emb, cents, vec_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qrow = emb.where(F.col(id_col) == query_id).select(v.alias("qv")).collect()[0]
-    qv = list(qrow["qv"])
+    qrows = emb.where(F.col(id_col) == query_id).select(v.alias("qv")).collect()
+    if not qrows:
+        raise ValueError(f"query_id {query_id} not found in {id_col}")
+    qv = list(qrows[0]["qv"])
     import math
 
     qscores = sorted(
@@ -359,11 +361,19 @@ def kmeans_refine(
         # SPHERICAL update: average the norm-NORMALIZED vectors — the
         # Lloyd step that matches the cosine assignment/objective (an
         # unnormalized mean lets one large-norm vector tilt the centroid
-        # and the cosine inertia can INCREASE)
+        # and the cosine inertia can INCREASE). The norm is staged ONCE
+        # per row (re-folding _vnorm inside the transform lambda is
+        # O(dim^2) per row) and zero norms are nullified so a zero
+        # vector contributes NULLs (dropped by avg) instead of NaNs
+        # that would poison its bucket's mean.
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        unit = F.transform(v, lambda x: x / _vnorm(v))
+        staged = (
+            assigned.withColumn("_uv", v)
+            .withColumn("_un", F.nullif(_vnorm(F.col("_uv")), F.lit(0.0)))
+        )
+        unit = F.transform(F.col("_uv"), lambda x: x / F.col("_un"))
         means = (
-            assigned.withColumn("_unit", unit)
+            staged.withColumn("_unit", unit)
             .select("ivf_bucket", F.posexplode("_unit").alias("pos", "x"))
             .groupBy("ivf_bucket", "pos")
             .agg(F.avg("x").alias("m"))

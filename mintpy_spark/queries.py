@@ -387,14 +387,61 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
+# Driver-snapshot priority: the gate records a bounded number of queries per
+# round, so entries that have never appeared in a CORRECTNESS_r{N}.json file
+# are listed FIRST (registry minus CORRECTNESS_r01 ∪ r02 keys, then any
+# round-3 additions). Content is unchanged — ordering only; the frozen
+# manifest (tests/registry_frozen.txt) compares as a set.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-checked as of round 2 (26)
+    "network_inversion",
+    "network_inversion_weighted",
+    "velocity_sigma_cov",
+    "joint_decompose_2geom",
+    "weight_fisher_stats",
+    "deramp_daily",
+    "deramp2_daily",
+    "diff_vs_model",
+    "temporal_coherence",
+    "velocity_with_ci",
+    "velocity_timefunc_full",
+    "velocity_dem_pattern",
+    "closure_triplet",
+    "pair_reconstruct_residual",
+    "mad_outlier_days",
+    "epoch_median_1d",
+    "temporal_avg_scaled",
+    "ref_cross_section",
+    "dates_except",
+    "lut_remap_stats",
+    "wrap_phase_stats",
+    "gaussian_smooth",
+    "asof_next_click_after_purchase",
+    "olap_customers_with_purchases",
+    "event_value_histogram",
+    "text_stopword_ratio",
+    # round-3 additions (also never driver-checked)
+    "closure_bias_seq",
+    "simsearch_ivf_topk_c64",
+    "multimodal_decode_stats",
+    "text_langid_wide",
+)
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in DRIVER_PRIORITY if k in d}
+    tail = {k: v for k, v in d.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_ext()
-    return dict(_QUERIES)
+    return _ordered(dict(_QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     _ensure_ext()
-    return dict(_ORACLES)
+    return _ordered(dict(_ORACLES))
 
 
 @_q(

@@ -101,8 +101,10 @@ class TierMaintainer:
         out = fs.create(marker, True)
         out.close()
 
-    def _gc(self, spark: SparkSession, keep_from: int) -> None:
-        """Drop version dirs older than the previous committed version."""
+    def _gc(self, spark: SparkSession) -> None:
+        """Drop all version dirs except the latest two committed (the
+        current version plus the one a crashed-then-replayed batch would
+        recompute from)."""
         fs, root = self._fs(spark, self.root)
         if not fs.exists(root):
             return
@@ -154,7 +156,7 @@ class TierMaintainer:
                 self._version_path(batch_id, t)
             )
         self._commit(spark, batch_id)
-        self._gc(spark, batch_id)
+        self._gc(spark)
         wall_ms = int((_time.time() - t0) * 1000)
         self.metrics.append(
             [
