@@ -604,7 +604,7 @@ def embedding_bucketed_oracle_sql(
 
 def dedup_components(
     ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    iterations: int = 4,
+    iterations: int = 4, checkpoint_every: int = 2,
 ) -> DataFrame:
     """Transitive near-dup clusters: (id, component) where component is
     the min id reachable within ``iterations`` hops of the pair graph —
@@ -618,15 +618,25 @@ def dedup_components(
     ~2), so a small fixed count suffices and makes the operator
     DETERMINISTIC for a fixed k (the driver oracle unrolls the same k in
     SQL). At 10^12 docs: edges ~ near-dup pairs (<< corpus), each round is
-    a bounded self-equijoin; checkpoint every few rounds to cut lineage.
-    """
+    a bounded self-equijoin.
+
+    Lineage control: the edge list (whose upstream is typically the full
+    LSH candidate-generation pipeline) is localCheckpoint'ed ONCE before
+    the loop, and the label table every ``checkpoint_every`` iterations —
+    without this each iteration's plan embeds all predecessors, so the
+    k=4 evaluation re-executed pair generation per round (the sf0.01 plan
+    showed 61 Exchanges / 98 joins; checkpointed it is O(1) per round).
+    ``checkpoint_every=0`` disables truncation (used by plan audits that
+    must stay action-free)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    if checkpoint_every:
+        edges = edges.localCheckpoint(eager=True)
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -639,6 +649,8 @@ def dedup_components(
                 F.least(F.col("lbl"), F.coalesce("_nmin", F.col("lbl"))).alias("lbl"),
             )
         )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
 
 

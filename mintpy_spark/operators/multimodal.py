@@ -3,11 +3,17 @@
 Treats media payloads as opaque ``binary`` columns with typed metadata,
 exactly like the engine treats ``html``. The Spark-side machinery — schema,
 Arrow batch shape, mapInPandas signatures, partition behavior — is real and
-tested; the codec calls themselves are STUBBED (the sandbox ships no
-image/audio libraries): ``decode_stub=True`` derives deterministic fake
-metadata/features from the payload bytes, and ``decode_stub=False`` raises
-``NotImplementedError`` at the exact call site where PIL/ffmpeg would slot
-in. At 100 TB this stage is the same shape as extract_text: embarrassingly
+tested. Decode has two real codecs and a stub tier:
+
+* ``decode_stub=False`` runs REAL pure-NumPy decoders for the two
+  header+array container formats implementable without PIL/ffmpeg —
+  uncompressed 24-bpp BMP (decode_bmp) and 16-bit PCM WAV (decode_wav) —
+  and raises ``NotImplementedError`` at the exact call site where
+  PIL/ffmpeg would slot in for compressed formats (PNG/JPEG/MP4/...).
+* ``decode_stub=True`` derives deterministic fake metadata/features from a
+  payload digest for any format (plumbing tests, compressed formats).
+
+At 100 TB this stage is the same shape as extract_text: embarrassingly
 parallel payload map at scan parallelism, metadata-only columns flowing on.
 
 Reference analog: the prep_* readers that sniff format + extract typed
@@ -69,6 +75,152 @@ def sniff_media_type(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+# ---------------------------------------------------------------------------
+# Real codecs (pure NumPy): uncompressed 24-bpp BMP, 16-bit PCM WAV.
+# Both formats are header + raw sample array — decodable byte-exactly
+# without any image/audio library. Encoders exist so tests and the
+# driver query can synthesize deterministic fixtures and round-trip them.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) -> BMP bytes (BITMAPINFOHEADER, 24 bpp,
+    bottom-up rows, 4-byte row padding — the classic Windows layout)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    # bottom-up scanlines, BGR channel order
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    raw = body.tobytes()
+    pix_off = 14 + 40
+    header = (
+        b"BM"
+        + (pix_off + len(raw)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + pix_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")   # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")   # BI_RGB (uncompressed)
+        + len(raw).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + raw
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP bytes -> RGB uint8 array (h, w, 3). Real decode: parses the
+    BITMAPFILEHEADER/BITMAPINFOHEADER, honors the pixel-data offset,
+    row padding, bottom-up vs top-down orientation, and BGR order.
+    Only the uncompressed 24-bpp profile is supported (anything else is
+    where PIL would slot in)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bpp BMP decoded here (got bpp={bpp}, "
+            f"compression={comp}); compressed profiles need PIL"
+        )
+    bottom_up = h > 0
+    hh = abs(h)
+    row = (w * 3 + 3) // 4 * 4
+    body = np.frombuffer(payload, np.uint8, count=row * hh, offset=pix_off)
+    img = body.reshape(hh, row)[:, : w * 3].reshape(hh, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 array (n,) or (n, channels) -> canonical RIFF/WAVE bytes
+    (PCM fmt chunk + data chunk)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    assert samples.dtype == np.int16
+    n, ch = samples.shape
+    data = samples.tobytes()  # interleaved little-endian frames
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")   # block align
+        + (16).to_bytes(2, "little")       # bits per sample
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples (n, channels), sample_rate). Real
+    decode: walks the RIFF chunk list (including odd-size padding), reads
+    the PCM fmt chunk, reshapes the data chunk. Only 16-bit PCM is
+    supported (compressed codecs are where ffmpeg would slot in)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV decoded here (format={audio_format}, "
+            f"bits={bits}); compressed codecs need ffmpeg"
+        )
+    samples = np.frombuffer(data, np.int16)
+    samples = samples[: len(samples) // channels * channels]
+    return samples.reshape(-1, channels).copy(), rate
+
+
+def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
+                                        int | None, int | None, int | None]:
+    """Real metadata decode for the supported formats. For WAV, n_frames
+    is the sample-frame count (one frame = one sample across channels)
+    and duration_ms = floor(frames * 1000 / rate)."""
+    mtype = sniff_media_type(payload)
+    if mtype == "image/bmp":
+        img = decode_bmp(payload)
+        return mtype, img.shape[1], img.shape[0], 1, None, None
+    if mtype == "audio/wav":
+        samples, rate = decode_wav(payload)
+        frames = samples.shape[0]
+        return mtype, None, None, frames, rate, frames * 1000 // rate
+    raise NotImplementedError(
+        f"real decode for {mtype} requires PIL/ffmpeg; only BMP and WAV "
+        "have pure-NumPy decoders in this sandbox"
+    )
+
+
 def _stub_meta(payload: bytes) -> tuple[str, int, int, int, int, int]:
     """Deterministic fake decode: metadata derived from a payload digest.
     Stands in for PIL.Image.open / ffprobe; same row shape, same types."""
@@ -87,8 +239,9 @@ def decode_media(
 ) -> DataFrame:
     """payload binary -> typed media metadata columns (Arrow-batched).
 
-    With ``decode_stub=False`` this is where a real decoder goes; it raises
-    NotImplementedError so no caller can mistake stub output for real decode.
+    ``decode_stub=False`` runs the REAL decoders (BMP/WAV; see _real_meta)
+    and raises NotImplementedError per unsupported format — no caller can
+    mistake stub output for real decode.
     """
     passthrough = [c for c in df.columns if c != payload_col]
     schema = ", ".join(
@@ -96,17 +249,14 @@ def decode_media(
          if f.name != payload_col]
         + [MEDIA_META_SCHEMA]
     )
+    meta_fn = _stub_meta if decode_stub else _real_meta
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not available in sandbox"
-                )
             # NULL payloads yield a null-metadata row instead of killing the
             # task (one bad record cannot kill a scan — extract_text's rule)
             metas = [
-                _stub_meta(bytes(p)) if p is not None
+                meta_fn(bytes(p)) if p is not None
                 else ("unknown", None, None, None, None, None)
                 for p in pdf[payload_col]
             ]
@@ -127,37 +277,100 @@ def extract_features(
     df: DataFrame, payload_col: str = "payload", dim: int = 16,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """payload -> float feature vector (array<float>), deterministic stub.
+    """payload -> float feature vector (array<float>).
 
-    Real path would run a vision/audio encoder per Arrow batch (the batch
-    IS the inference micro-batch); the stub hashes bytes into a unit vector
-    so downstream similarity ops are exercised with stable values.
+    ``decode_stub=True`` hashes bytes into a deterministic unit vector so
+    downstream similarity ops are exercised with stable values. The real
+    path (``decode_stub=False``) computes content features from the
+    decoded samples: a ``dim``-bin luminance histogram for BMP images,
+    ``dim`` windowed RMS energies for WAV audio — both L2-normalized, so
+    cosine similarity downstream is meaningful; a deep vision/audio
+    encoder would slot in at the same seam (the Arrow batch IS the
+    inference micro-batch), raising NotImplementedError for compressed
+    formats meanwhile.
     """
     passthrough = [c for c in df.columns if c != payload_col]
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
          if f.name != payload_col]
-        + [f"features array<float>"]
+        + ["features array<float>"]
     )
+
+    def _real_features(p: bytes) -> list[float]:
+        mtype = sniff_media_type(p)
+        if mtype == "image/bmp":
+            lum = decode_bmp(p).astype(np.float32).mean(axis=2).ravel()
+            hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
+            v = hist.astype(np.float32)
+        elif mtype == "audio/wav":
+            samples, _rate = decode_wav(p)
+            mono = samples.astype(np.float32).mean(axis=1)
+            n = max(len(mono) // dim, 1)
+            v = np.array(
+                [np.sqrt(np.mean(mono[i * n : (i + 1) * n] ** 2))
+                 if len(mono[i * n : (i + 1) * n]) else 0.0
+                 for i in range(dim)],
+                dtype=np.float32,
+            )
+        else:
+            raise NotImplementedError(
+                f"real features for {mtype} require PIL/ffmpeg"
+            )
+        nrm = float(np.linalg.norm(v))
+        return (v / nrm if nrm > 0 else v).tolist()
+
+    def _stub_features(p: bytes) -> list[float]:
+        d = hashlib.sha256(p).digest()
+        v = np.frombuffer(d[: dim * 2], dtype=np.uint16).astype(np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    feat_fn = _stub_features if decode_stub else _real_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real feature extraction not available")
-            feats = []
-            for p in pdf[payload_col]:
-                if p is None:  # null payload -> null feature row, not a crash
-                    feats.append(None)
-                    continue
-                d = hashlib.sha256(bytes(p)).digest()
-                v = np.frombuffer(d[: dim * 2], dtype=np.uint16).astype(np.float32)
-                v = v / np.linalg.norm(v)
-                feats.append(v.tolist())
+            # null payload -> null feature row, not a crash
+            feats = [feat_fn(bytes(p)) if p is not None else None
+                     for p in pdf[payload_col]]
             out = pdf[passthrough].copy()
             out["features"] = pd.Series(feats, index=pdf.index, dtype="object")
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def synth_media_payload(doc_id: int) -> bytes:
+    """Deterministic fixture payload for tests and the driver query:
+    even ids -> BMP with width=4+id%13, height=3+id%7; odd ids -> WAV with
+    rate in (8000, 16000, 44100) by id%3, frames=100+id%50,
+    channels=1+(id//2)%2. The planted metadata is an analytic function of
+    the id, so a SQL oracle can verify the REAL decoders recover it from
+    genuine container bytes (headers, padding, chunk walk — not a echo of
+    the formula)."""
+    if doc_id % 2 == 0:
+        w, h = 4 + doc_id % 13, 3 + doc_id % 7
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 3 + yy * 7 + doc_id).astype(np.int64)
+        px = np.stack([base % 256, (base * 2) % 256, (base * 5) % 256], axis=2)
+        return encode_bmp(px.astype(np.uint8))
+    rate = (8000, 16000, 44100)[doc_id % 3]
+    frames = 100 + doc_id % 50
+    ch = 1 + (doc_id // 2) % 2
+    t = np.arange(frames * ch, dtype=np.int64)
+    samples = ((t * 2731 + doc_id * 17) % 65536 - 32768).astype(np.int16)
+    return encode_wav(samples.reshape(frames, ch), rate)
+
+
+def attach_synth_payload(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach the deterministic fixture payload (Arrow-batched)."""
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_media_payload(int(i)))
+
+    return df.withColumn(payload_col, synth(col(id_col)))
 
 
 def frame_sample_plan(n_frames_col: str, every_k: int = 8):

@@ -434,6 +434,19 @@ def _ordered(d: dict) -> dict:
     return {**head, **tail}
 
 
+# Verification-tier registry entries: retained deliberately as the exact
+# all-pairs / benign-block formulations that VALIDATE their scale-safe
+# twins — their plans go quadratic on a hot block and must not be used as
+# the production path at 10^12 docs. Maps verification query -> the
+# banded/bucketed twin that IS the production path (tests assert every
+# entry here has its twin registered).
+VERIFICATION_ONLY: dict[str, str] = {
+    "dedup_simhash_pairs": "dedup_simhash_banded",
+    "dedup_ngram_jaccard": "dedup_ngram_jaccard_lsh",
+    "dedup_embedding_cosine": "dedup_embedding_bucketed",
+}
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_ext()
     return _ordered(dict(_QUERIES))

@@ -600,3 +600,47 @@ def olap_customers_with_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@_q(
+    "multimodal_decode_stats",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'audio/wav' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT)
+                END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS INT)
+                END AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                     ELSE 100 + doc_id % 50 END AS INT) AS n_frames,
+           CASE WHEN doc_id % 2 = 1 THEN
+             CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 44100 END AS INT)
+           END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN
+             CAST((100 + doc_id % 50) * 1000
+                  // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 44100 END) AS BIGINT)
+           END AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (reference analog: the
+    utils/readfile.py:559-2110 format sniff + typed-metadata readers):
+    every doc gets a genuine container payload (BMP for even ids, WAV for
+    odd — synth_media_payload plants analytically-known metadata), then
+    decode_media(decode_stub=False) parses the actual bytes — BMP
+    header/padding/orientation, RIFF chunk walk — and the oracle checks
+    the decoders recovered every planted value. Pipeline shape is the
+    production one: scan -> Arrow-batched payload map -> Arrow-batched
+    decode, metadata-only columns flowing on."""
+    from mintpy_spark.operators.multimodal import attach_synth_payload, decode_media
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    with_payload = attach_synth_payload(d, id_col="doc_id")
+    return decode_media(with_payload, decode_stub=False).select(
+        "doc_id", "media_type", "width", "height",
+        "n_frames", "sample_rate", "duration_ms",
+    )

@@ -108,3 +108,91 @@ def test_riff_family_split():
     assert sniff_media_type(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio/wav"
     assert sniff_media_type(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
     assert sniff_media_type(b"RIFF\x24\x00\x00\x00AVI LIST") == "video/avi"
+
+
+def test_bmp_roundtrip_byte_exact():
+    """encode_bmp -> decode_bmp recovers the pixel array exactly,
+    including odd widths that exercise 4-byte row padding."""
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 5), (4, 4), (7, 2), (13, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert sniff_media_type(blob) == "image/bmp"
+        assert np.array_equal(decode_bmp(blob), px)
+
+
+def test_wav_roundtrip_byte_exact():
+    """encode_wav -> decode_wav recovers samples + rate exactly, mono and
+    stereo, including the odd-size chunk pad byte."""
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for n, ch, rate in [(1, 1, 8000), (101, 1, 16000), (64, 2, 44100)]:
+        s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        blob = encode_wav(s, rate)
+        assert sniff_media_type(blob) == "audio/wav"
+        got, got_rate = decode_wav(blob)
+        assert got_rate == rate
+        assert np.array_equal(got, s)
+
+
+def test_decode_media_real_bmp_wav(spark):
+    """decode_media(decode_stub=False) runs the REAL decoders and
+    recovers the planted metadata from genuine container bytes."""
+    from mintpy_spark.operators.multimodal import (
+        attach_synth_payload,
+        synth_media_payload,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    out = {
+        r.doc_id: r
+        for r in decode_media(
+            attach_synth_payload(ids), decode_stub=False
+        ).collect()
+    }
+    for i in range(10):
+        r = out[i]
+        if i % 2 == 0:
+            assert r.media_type == "image/bmp"
+            assert (r.width, r.height, r.n_frames) == (4 + i % 13, 3 + i % 7, 1)
+            assert r.sample_rate is None and r.duration_ms is None
+        else:
+            assert r.media_type == "audio/wav"
+            frames = 100 + i % 50
+            rate = (8000, 16000, 44100)[i % 3]
+            assert (r.n_frames, r.sample_rate) == (frames, rate)
+            assert r.duration_ms == frames * 1000 // rate
+            assert r.width is None and r.height is None
+    # payload synthesis itself is deterministic (fixture stability)
+    assert synth_media_payload(4) == synth_media_payload(4)
+
+
+def test_extract_features_real_content(spark):
+    """Real features: luminance histogram (BMP) / windowed RMS (WAV),
+    L2-normalized, computed from decoded samples not byte hashes."""
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    flat = encode_bmp(np.full((6, 6, 3), 10, dtype=np.uint8))
+    loud = encode_wav(np.full(256, 30000, dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(loud))], "id int, payload binary"
+    )
+    rows = {r.id: r.features for r in
+            extract_features(df, dim=8, decode_stub=False).collect()}
+    # constant-luminance image: all mass in one histogram bin -> one-hot
+    assert max(rows[1]) == pytest.approx(1.0)
+    assert sum(1 for x in rows[1] if x > 0) == 1
+    # constant-amplitude audio: equal RMS per window -> uniform vector
+    assert all(x == pytest.approx(1 / 8**0.5, rel=1e-5) for x in rows[2])

@@ -271,6 +271,15 @@ def test_components_close_transitive_chains(spark):
         for r in D.dedup_components(ids, pairs, iterations=3).collect()
     }
     assert got3[4] != 0
+    # lineage checkpointing is a physical-plan change only: disabling it
+    # (checkpoint_every=0) yields identical labels
+    got_nockpt = {
+        r.doc_id: r.component
+        for r in D.dedup_components(
+            ids, pairs, iterations=4, checkpoint_every=0
+        ).collect()
+    }
+    assert got_nockpt == got
 
 
 def test_kmeans_refinement_reduces_inertia_and_matches_numpy(spark):

@@ -44,6 +44,20 @@ def test_registry_shape():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+def test_verification_only_queries_have_scale_safe_twins():
+    """Every verification-tier query (exact all-pairs / benign-block
+    formulation kept to validate candidate generation) must map to a
+    registered scale-safe production twin."""
+    import __spark_entry__ as E
+    from mintpy_spark.queries import VERIFICATION_ONLY
+
+    qs = set(E.queries())
+    for verif, twin in VERIFICATION_ONLY.items():
+        assert verif in qs, f"verification query {verif} not registered"
+        assert twin in qs, f"{verif}'s scale-safe twin {twin} not registered"
+        assert verif != twin
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as E
 
