@@ -185,3 +185,143 @@ def stitch_series(
         .join(a.select(key, ts), [key, ts], "left_anti")
     )
     return a.unionByName(b_adj)
+
+
+def seq_closure_ml(
+    obs: DataFrame, value_col: str, conn: int = 2,
+    key: str = "url", ts: str = "warc_ts", looks: int = 10,
+) -> DataFrame:
+    """Connection-level-``conn`` sequential closure of MULTILOOKED
+    wrapped pair phases.
+
+    Reference analog: closure_phase_bias.py:381-500
+    compute_unwrap_closure_phase + objects/stack.py:1235-1287
+    get_sequential_closure_phase. Crucial semantics: for per-epoch values
+    the closure of raw wrapped diffs is identically 0 (mod 2*pi) — each
+    wrapped diff is the true diff plus a 2*pi multiple, and the loop sum
+    of true diffs telescopes to zero. The reference's closures are
+    nonzero because the pair phases are MULTILOOKED first (averaged over
+    a spatial look window), and averaging does not commute with
+    wrapping. This operator reproduces that structure:
+
+        1. epoch grid:  v(key, d)   = avg(value) per key per day
+        2. pair phase:  phi_l(key, d) = wrap(v(key, d+l) - v(key, d))
+        3. multilook:   ml_l(grp, d)  = avg over the look group's keys
+           (grp = floor(key / looks) — the engine's pixel-window analog;
+           at production scale a domain/hash bucket)
+        4. closure:     cp(grp, d) = wrap(sum_{k=0..conn-1} ml_1(d+k)
+                                          - ml_conn(d))
+
+    Plan shape (one raw scan, three shuffles total — NOT one join per
+    lag/shift, which re-evaluated the epoch-grid subtree per arm and
+    would re-read the raw table 2*conn+2 times at scale):
+
+        scan -> groupBy(key, d) epoch grid          [shuffle 1]
+        -> ONE self-join on key with datediff(b.d, a.d) IN (1, conn)
+           (both pair lags from a single pass; the equi part is key, so
+           the two sides share one canonical exchange)   [shuffle 2]
+        -> ONE conditional aggregation per (grp, d): ml1 = avg(phi | lag
+           1), mlc = avg(phi | lag conn)                 [shuffle 3]
+        -> the sequential sum over ml1(d..d+conn-1) is a RANGE-frame
+           window on the day number (day gaps guarded by count == conn),
+           not conn-1 shift joins.
+
+    Returns (grp, d, cp)."""
+    from mintpy_spark.functions.scalars import wrap
+
+    grp = F.floor(F.col(key) / F.lit(looks))
+    e = (
+        obs.select(key, grp.alias("grp"), F.date_trunc("day", ts).alias("d"),
+                   F.col(value_col).alias("_v"))
+        .groupBy(key, "grp", "d")
+        .agg(F.avg("_v").alias("v"))
+    )
+    b = e.select(
+        F.col(key).alias("_k"), F.col("d").alias("_d"), F.col("v").alias("_vb")
+    )
+    lag = F.datediff(F.col("_d"), F.col("d"))
+    phi = wrap(F.col("_vb") - F.col("v"))
+    ml = (
+        e.join(b, (F.col(key) == F.col("_k")) & lag.isin(1, conn))
+        .select("grp", "d", lag.alias("lag"), phi.alias("phi"))
+        .groupBy("grp", "d")
+        .agg(
+            F.avg(F.when(F.col("lag") == 1, F.col("phi"))).alias("ml1"),
+            F.avg(F.when(F.col("lag") == conn, F.col("phi"))).alias("mlc"),
+        )
+    )
+    daynum = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    wr = (
+        Window.partitionBy("grp")
+        .orderBy("daynum")
+        .rangeBetween(0, conn - 1)
+    )
+    staged = ml.withColumn("daynum", daynum)
+    seq_sum = F.sum("ml1").over(wr)
+    n_seq = F.count("ml1").over(wr)
+    cp = F.when(
+        (n_seq == conn) & F.col("mlc").isNotNull(), wrap(seq_sum - F.col("mlc"))
+    )
+    return (
+        staged.select("grp", "d", cp.alias("cp"))
+        .where(F.col("cp").isNotNull())
+    )
+
+
+def closure_bias_ts(
+    obs: DataFrame, value_col: str, conn: int = 2,
+    key: str = "url", ts: str = "warc_ts", looks: int = 10,
+) -> DataFrame:
+    """Cumulative sequential-closure bias time series — Zheng et al.
+    (2022, TGRS) eq. (25)+(28) as the reference implements them
+    (closure_phase_bias.py:206-218 cum_seq_unw_closure_phase_timeseries)
+    over the multilooked closures of seq_closure_ml:
+
+        bias[0..ncp-1] = exclusive cumsum(cp)          (eq. 25 head)
+        bias[ncp + m]  = tot + m * cp_last, m < conn   (eq. 25 tail:
+                         the last conn epochs span no full loop and are
+                         extrapolated with the final closure)
+        bias /= conn                                   (eq. 28)
+
+    The head is one window cumsum on the (grp, d) clustering; the tail
+    is a per-group aggregate exploded into conn rows (epoch days
+    continue the day grid past the last closure). Returns (grp, d,
+    bias) — one row per epoch, ncp + conn per group.
+
+    The closure table is localCheckpoint'ed (lazily) so the head and
+    tail branches of the union share one evaluation of the whole
+    scan->join->multilook pipeline instead of re-reading the raw table
+    per branch."""
+    cp = seq_closure_ml(obs, value_col, conn, key, ts, looks).localCheckpoint(
+        eager=False
+    )
+    wo = Window.partitionBy("grp").orderBy("d")
+    main = cp.select(
+        "grp",
+        "d",
+        (
+            F.coalesce(
+                F.sum("cp").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            )
+            / F.lit(float(conn))
+        ).alias("bias"),
+    )
+    agg = cp.groupBy("grp").agg(
+        F.sum("cp").alias("tot"),
+        F.max("d").alias("dmax"),
+        F.max_by("cp", "d").alias("cp_last"),
+    )
+    tail = (
+        agg.select(
+            "grp", "tot", "dmax", "cp_last",
+            F.explode(F.sequence(F.lit(0), F.lit(conn - 1))).alias("m"),
+        )
+        .select(
+            "grp",
+            F.expr("dmax + (m + 1) * INTERVAL 1 DAY").alias("d"),
+            ((F.col("tot") + F.col("m") * F.col("cp_last")) / F.lit(float(conn))
+             ).alias("bias"),
+        )
+    )
+    return main.unionByName(tail)

@@ -422,6 +422,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_stopword_ratio",
     # round-3 additions (also never driver-checked)
     "closure_bias_seq",
+    "closure_bias_velocity",
     "simsearch_ivf_topk_c64",
     "multimodal_decode_stats",
     "text_langid_wide",

@@ -640,3 +640,96 @@ def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         direction="forward",
     )
     return out.select("user_id", "ts", F.round("value", 4).alias("value"), "asof_ts")
+
+
+# DuckDB spelling of functions.scalars.wrap into [-pi, pi) — the proven
+# pmod form from wrap_phase_stats
+def _W(x: str) -> str:
+    return f"(-pi() + ((({x}) - -pi()) % (2 * pi()) + 2 * pi()) % (2 * pi()))"
+
+
+# Multilooked sequential closure, conn=2, looks=10. The multilook (avg of
+# wrapped pair phases over the look group) is what makes closures nonzero:
+# raw per-epoch wrapped diffs are loop-consistent mod 2*pi by construction.
+_CLOSURE_BIAS_BASE = f"""
+    WITH e AS (
+      SELECT user_id, user_id // 10 AS grp,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), p1 AS (
+      SELECT a.grp, a.d, {_W('b.v - a.v')} AS phi
+      FROM e a JOIN e b ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+    ), p2 AS (
+      SELECT a.grp, a.d, {_W('b.v - a.v')} AS phi
+      FROM e a JOIN e b ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 2 DAY
+    ), m1 AS (SELECT grp, d, AVG(phi) AS ml FROM p1 GROUP BY 1, 2),
+    m2 AS (SELECT grp, d, AVG(phi) AS ml FROM p2 GROUP BY 1, 2),
+    cp AS (
+      SELECT m2.grp, m2.d, {_W('x.ml + y.ml - m2.ml')} AS cp
+      FROM m2
+      JOIN m1 x ON x.grp = m2.grp AND x.d = m2.d
+      JOIN m1 y ON y.grp = m2.grp AND y.d = m2.d + INTERVAL 1 DAY
+    ), b AS (
+      SELECT grp, d,
+             COALESCE(SUM(cp) OVER (PARTITION BY grp ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2.0
+               AS bias
+      FROM cp
+      UNION ALL
+      SELECT grp, dmax + (m + 1) * INTERVAL 1 DAY AS d,
+             (tot + m * cp_last) / 2.0 AS bias
+      FROM (
+        SELECT grp, SUM(cp) AS tot, MAX(d) AS dmax, arg_max(cp, d) AS cp_last
+        FROM cp GROUP BY grp
+      ), generate_series(0, 1) AS t(m)
+    )
+"""
+
+
+@_q(
+    "closure_bias_seq",
+    _CLOSURE_BIAS_BASE + """
+    SELECT grp, d, ROUND(bias, 4) AS bias FROM b
+    """,
+)
+def closure_bias_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative connection-2 sequential-closure bias time series
+    (closure_phase_bias.py:146-238 cum_seq_unw_closure_phase_timeseries,
+    Zheng et al. 2022 eq. 25+28) over MULTILOOKED wrapped pair phases —
+    see operators.diff.seq_closure_ml for why multilooking is the
+    mechanism that makes closures nonzero. The oracle replicates every
+    stage: epoch grid, day-shift pair joins, look-group averages,
+    closure wrap, exclusive cumsum head + extrapolated tail."""
+    from mintpy_spark.operators.diff import closure_bias_ts
+
+    ev = load(spark, sf_dir, "events")
+    out = closure_bias_ts(ev, "value", conn=2, key="user_id", ts="ts", looks=10)
+    return out.select("grp", "d", F.round("bias", 4).alias("bias"))
+
+
+@_q(
+    "closure_bias_velocity",
+    _CLOSURE_BIAS_BASE + f"""
+    SELECT grp,
+           ROUND(covar_pop(t, bias) / var_pop(t), 4) AS velocity,
+           COUNT(*) AS num_obs
+    FROM (SELECT grp, bias, {_DY_SQL.format(t='d')} - 2024.0 AS t FROM b)
+    GROUP BY grp
+    """,
+)
+def closure_bias_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group bias SOLVE: linear rate of the cumulative
+    closure-bias series — the reference's velocity-bias estimate from
+    the closure time series (closure_phase_bias.py:240-380), closed-form
+    least squares (covar/var) on the engine's own closure_bias_ts
+    output."""
+    from mintpy_spark.operators.diff import closure_bias_ts
+    from mintpy_spark.operators.timefunc import linear_velocity
+
+    ev = load(spark, sf_dir, "events")
+    bias = closure_bias_ts(ev, "value", conn=2, key="user_id", ts="ts", looks=10)
+    out = linear_velocity(bias, "bias", key="grp", ts="d", ref_year=2024.0)
+    return out.select(
+        "grp", F.round("velocity", 4).alias("velocity"), "num_obs"
+    )

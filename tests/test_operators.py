@@ -234,3 +234,86 @@ def test_mad_outlier_collect_free(spark):
     med = float(np.median(rms))
     mad = float(np.median(np.abs(np.array(rms) - med)))
     assert all(r["rms"] > med + 3.0 * 1.4826 * mad for r in got)
+
+
+def test_closure_bias_seed_and_recover(spark):
+    """Plant a known loop inconsistency and recover it analytically.
+
+    Look group of 3 keys: two flat series (zero phases) and one stepping
+    by 2.0/day — the lag-1 diff (2.0) does not wrap but the lag-2 diff
+    (4.0) does, so the per-key closure of the stepping key is exactly
+    2*pi and the multilooked closure is wrap(2*pi/3) = 2*pi/3 every day.
+    The cumulative bias series is then exactly linear with slope pi/3
+    per epoch day, and the velocity solve must recover
+    pi/3 * 365.25 per decimal year."""
+    import datetime as dt
+    import math
+
+    from mintpy_spark.operators.diff import closure_bias_ts, seq_closure_ml
+    from mintpy_spark.operators.timefunc import linear_velocity
+
+    nd = 12
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (k, t0 + dt.timedelta(days=j), 0.0 if k < 2 else 2.0 * j)
+        for k in range(3)
+        for j in range(nd)
+    ]
+    obs = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+
+    cp = seq_closure_ml(obs, "value", conn=2, key="user_id", ts="ts", looks=10)
+    got = sorted((r.d, r.cp) for r in cp.collect())
+    assert len(got) == nd - 2  # num_date - conn closures
+    for _d, c in got:
+        assert abs(c - 2 * math.pi / 3) < 1e-9
+
+    bias = closure_bias_ts(obs, "value", conn=2, key="user_id", ts="ts", looks=10)
+    rows_b = sorted((r.d, r.bias) for r in bias.collect())
+    assert len(rows_b) == nd  # ncp + conn epochs, the full day grid
+    for j, (d, b) in enumerate(rows_b):
+        assert d == t0 + dt.timedelta(days=j)  # epoch grid is continuous
+        assert abs(b - j * math.pi / 3) < 1e-9
+
+    vel = linear_velocity(bias, "bias", key="grp", ts="d", ref_year=2024.0)
+    v = vel.collect()[0].velocity
+    assert abs(v - math.pi / 3 * 365.25) < 1e-6
+
+
+def test_closure_bias_matches_numpy_replica(spark):
+    """closure_bias_ts == an independent NumPy replica of the reference
+    pipeline (epoch grid -> wrapped pair phases -> multilook -> closure
+    -> eq. 25/28 cumsum + tail) on irregular random data."""
+    import datetime as dt
+
+    from mintpy_spark.operators.diff import closure_bias_ts
+
+    rng = np.random.default_rng(5)
+    nd, nkey, conn = 10, 7, 2
+    t0 = dt.datetime(2024, 5, 1)
+    vals = rng.uniform(0, 100, size=(nkey, nd)).round(2)
+    rows = [
+        (k, t0 + dt.timedelta(days=j), float(vals[k, j]))
+        for k in range(nkey)
+        for j in range(nd)
+    ]
+    obs = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+
+    def wrapnp(x):
+        return -np.pi + np.mod(x + np.pi, 2 * np.pi)
+
+    phi1 = wrapnp(vals[:, 1:] - vals[:, :-1])          # (nkey, nd-1)
+    phi2 = wrapnp(vals[:, 2:] - vals[:, :-2])          # (nkey, nd-2)
+    ml1, ml2 = phi1.mean(axis=0), phi2.mean(axis=0)
+    cp = wrapnp(ml1[:-1] + ml1[1:] - ml2)              # (nd-2,)
+    bias = np.zeros(nd)
+    bias[1 : nd - conn + 1] = np.cumsum(cp)
+    for i in range(nd - conn + 1, nd):
+        bias[i] = (i - nd + conn) * cp[-1] + bias[nd - conn]
+    bias /= conn
+
+    got = sorted((r.d, r.bias) for r in
+                 closure_bias_ts(obs, "value", conn=conn, key="user_id",
+                                 ts="ts", looks=10).collect())
+    assert len(got) == nd
+    for j, (_d, b) in enumerate(got):
+        assert abs(b - bias[j]) < 1e-9, j
