@@ -6,7 +6,9 @@ how many of each language's characteristic character trigrams it contains,
 argmax over languages. Profiles here are small hand-built function-word
 trigram tables (public linguistic knowledge — definite articles,
 conjunctions, frequent suffixes), which carries real signal on natural
-text while staying fully deterministic.
+text while staying fully deterministic. Ten languages, including two
+non-Latin scripts (Russian Cyrillic, Greek) — the trigram machinery is
+byte-agnostic, so scripts cost nothing beyond profile rows.
 
 Engine shape (the part that matters at 100 TB):
 
@@ -52,6 +54,36 @@ PROFILES: dict[str, dict[str, int]] = {
         " el": 3, "el ": 2, " de": 2, "de ": 2, "los": 2, "os ": 2,
         " la": 2, "la ": 2, "que": 2, " qu": 1, "ado": 2, "ión": 1,
         " y ": 3, "ar ": 1, " co": 1, "nte": 1,
+    },
+    "it": {
+        " il": 3, "il ": 2, " di": 3, "di ": 2, "che": 2, " ch": 1,
+        "lla": 2, "ell": 2, "zio": 2, "one": 1, " e ": 2, "are": 1,
+        "to ": 1, "gli": 2, " pe": 1, "per": 1,
+    },
+    "pt": {
+        " do": 3, "do ": 2, " da": 2, "da ": 2, "ção": 3,
+        "ão ": 2, " um": 2, "um ": 1, "os ": 1, " de": 2, "de ": 1,
+        "ara": 1, " pa": 1, "com": 1, " co": 1,
+    },
+    "nl": {
+        "het": 3, " he": 1, "een": 2, " ee": 2, "van": 3, " va": 2,
+        "aar": 2, "oor": 2, "ijk": 3, "ij ": 2, " ni": 1, "iet": 1,
+        "sch": 1, " ge": 2, "cht": 1, "de ": 1,
+    },
+    "ru": {
+        " и ": 3, "ого": 3, "го ": 2, " на": 2, "на ": 1, "ть ": 2,
+        "ени": 2, "ние": 2, " по": 2, "ост": 2, "ств": 2, "что": 2,
+        " чт": 1, " не": 2, "ет ": 1, "ово": 1,
+    },
+    "el": {
+        " το": 3, "το ": 2, "και": 3, " κα": 2, "αι ": 2, " τη": 2,
+        "την": 2, "της": 2, "ης ": 1, "ου ": 2, "ος ": 1, " πα": 1,
+        "ειν": 1, "μεν": 1, " δε": 1, "να ": 1,
+    },
+    "tr": {
+        " bi": 2, "bir": 3, "ir ": 1, " ve": 3, "ve ": 2, "lar": 2,
+        "ler": 2, "ın ": 2, " ka": 1, "dır": 2, "yor": 2, "or ": 1,
+        "ası": 1, "eri": 1, " ol": 2, "lma": 1,
     },
 }
 

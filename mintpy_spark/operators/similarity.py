@@ -234,6 +234,53 @@ def ivf_assign(
     return out.drop("_cs", "_v", "_vn")
 
 
+def ivf_assign_bcast(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """ivf_assign via a BROADCAST centroid table — the unbounded-codebook
+    form (VERDICT r2 #7): the literal form inlines one dot-product
+    expression per centroid, so plan size grows with C and the expression
+    tree becomes the limit past C ~ 64. Here the codebook is data, not
+    plan: one broadcast nested-loop join fans each row out to C
+    (row, centroid) pairs, the cosine is a zip_with fold over the two
+    array COLUMNS (bit-identical to _dot_literal's index-order fold, so
+    assignments match the literal form exactly), and max_by over
+    struct(score, -cid) reduces back to one row per id map-side (partial
+    aggregation — the shuffle carries N rows, not N*C). The assignment
+    then rejoins the input on ``id_col``.
+
+    Semantics identical to ivf_assign: argmax cosine, lowest cid on
+    ties."""
+    import math
+
+    spark = emb.sparkSession
+    cent_rows = [
+        (int(cid), [float(x) for x in cvec],
+         math.sqrt(sum(float(x) * float(x) for x in cvec)))
+        for cid, cvec in centroids
+    ]
+    cents = spark.createDataFrame(
+        cent_rows, "cid int, cv array<double>, cnorm double"
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = emb.select(
+        id_col, v.alias("_v"),
+    ).withColumn("_vn", _vnorm(F.col("_v")))
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        staged.crossJoin(F.broadcast(cents))
+        .withColumn("_s", dot / (F.col("_vn") * F.col("cnorm")))
+        .groupBy(id_col)
+        .agg(F.expr("max_by(cid, struct(_s, -cid))").alias("ivf_bucket"))
+    )
+    return emb.join(assign, id_col)
+
+
 def load_centroids(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     num_centroids: int = 16,
@@ -252,12 +299,20 @@ def load_centroids(
 def ivf_topk(
     emb: DataFrame, query_id: int, k: int = 10, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    num_centroids: int = 16,
+    num_centroids: int = 16, assign: str = "literal",
 ) -> DataFrame:
     """IVF ANN top-k: probe the query's ``n_probe`` nearest centroid
-    buckets, exact cosine inside — candidates ~ corpus * n_probe / C."""
+    buckets, exact cosine inside — candidates ~ corpus * n_probe / C.
+
+    ``assign``: 'literal' inlines the codebook in the plan (fastest for
+    C <= ~16); 'broadcast' joins a broadcast centroid table
+    (ivf_assign_bcast) so C is unbounded by expression-tree size — the
+    two produce bit-identical assignments."""
     cents = load_centroids(emb, id_col, vec_col, num_centroids)
-    assigned = ivf_assign(emb, cents, vec_col)
+    if assign == "broadcast":
+        assigned = ivf_assign_bcast(emb, cents, vec_col, id_col)
+    else:
+        assigned = ivf_assign(emb, cents, vec_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qrows = emb.where(F.col(id_col) == query_id).select(v.alias("qv")).collect()
     if not qrows:

@@ -644,3 +644,29 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "width", "height",
         "n_frames", "sample_rate", "duration_ms",
     )
+
+
+@_q(
+    "text_langid_wide",
+    f"""
+    SELECT guess, COUNT(*) AS cnt, CAST(SUM(score) AS BIGINT) AS score_sum
+    FROM ({classify_oracle_sql()})
+    GROUP BY guess
+    """,
+)
+def text_langid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution through the widened 10-language
+    profile table (incl. Cyrillic + Greek): per-guess doc count and
+    total integer score. Exercises every profile row in one pass — the
+    oracle re-runs the full classifier and aggregates identically."""
+    from mintpy_spark.functions.langid import classify
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        classify(d)
+        .groupBy("guess")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("score").cast("long").alias("score_sum"),
+        )
+    )

@@ -337,3 +337,24 @@ def test_kmeans_inertia_nonincreasing_with_heterogeneous_norms(spark):
     i2 = S.kmeans_inertia(df, S.kmeans_refine(df, init, iterations=2))
     assert i1 <= i0 + 1e-12
     assert i2 <= i1 + 1e-12
+
+
+def test_ivf_assign_broadcast_matches_literal(spark):
+    """The broadcast-centroid assignment (unbounded C) must match the
+    literal-codebook form bit-for-bit, including lowest-cid tie-breaks,
+    at a codebook size the literal form could not reasonably inline."""
+    rng = np.random.default_rng(17)
+    n, dim, C = 200, 16, 64
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[5] = vecs[70]  # duplicate vector -> identical scores everywhere
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = S.load_centroids(df, num_centroids=C)
+    lit = {r.vec_id: r.ivf_bucket
+           for r in S.ivf_assign(df, cents).select("vec_id", "ivf_bucket").collect()}
+    bc = {r.vec_id: r.ivf_bucket
+          for r in S.ivf_assign_bcast(df, cents).select("vec_id", "ivf_bucket").collect()}
+    assert lit == bc
+    assert len(bc) == n

@@ -97,3 +97,30 @@ def test_langid_ngram_classifies_natural_text(spark):
     assert got[2] == "fr"
     assert got[3] == "es"
     assert got[4] == "unknown"
+
+
+def test_langid_wide_profiles_classify_ten_languages(spark):
+    """Round-3 profile breadth: all ten languages — including the two
+    non-Latin scripts — classify natural-text samples correctly."""
+    from mintpy_spark.functions.langid import PROFILES, classify
+
+    assert len(PROFILES) == 10
+    samples = [
+        (0, "the quick brown fox is one of the animals in the old story", "en"),
+        (1, "der hund und die katze sind ein gutes beispiel aus dem buch", "de"),
+        (2, "le chat et le chien sont des animaux que la ville connait", "fr"),
+        (3, "el perro y el gato son los animales que la gente quiere", "es"),
+        (4, "il cane e il gatto sono gli animali che la gente vuole bene", "it"),
+        (5, "o cachorro e um gato são do parque para a população da cidade", "pt"),
+        (6, "het huis van een aardig gezin is natuurlijk dichtbij de gracht", "nl"),
+        (7, "собака и кошка что живут на улице около старого дома", "ru"),
+        (8, "το σπίτι και ο κήπος της πόλης ου παλιού δρόμου", "el"),
+        (9, "bir kedi ve bir köpek evin bahçesinde yaşıyor dır", "tr"),
+        (10, "zzzz qqqq xxxx", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.guess for r in classify(df).collect()}
+    for i, _t, lang in samples:
+        assert got[i] == lang, f"sample {i}: got {got[i]}, want {lang}"

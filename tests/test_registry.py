@@ -44,6 +44,25 @@ def test_registry_shape():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+def test_docs_quote_the_frozen_registry_count():
+    """README's query count must equal the frozen manifest — the docs are
+    the driver's first read and drifted twice (82/89 vs 91 in round 2).
+    tests/registry_frozen.txt is the single authoritative count."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    manifest = os.path.join(root, "tests", "registry_frozen.txt")
+    n = len([l for l in open(manifest) if l.strip()])
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"exposes (\d+) queries", readme)
+    assert m, "README must state the query count"
+    assert int(m.group(1)) == n, (
+        f"README says {m.group(1)} queries, frozen manifest has {n} — "
+        "update README.md in the same commit that changes the registry"
+    )
+
+
 def test_verification_only_queries_have_scale_safe_twins():
     """Every verification-tier query (exact all-pairs / benign-block
     formulation kept to validate candidate generation) must map to a
