@@ -85,3 +85,47 @@ def asof_join(
     out_cols = [key, ts] + [F.col(f"_f_{c}").alias(c) for c in value_cols]
     out_cols.append(F.col("_f_ts").alias(right_ts_alias))
     return filled.where(F.col("_is_probe") == 1).select(*out_cols)
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tolerance_seconds: int,
+    value_cols: list[str] | None = None,
+    right_ts_alias: str = "asof_ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join with a maximum-staleness bound: matches farther than
+    ``tolerance_seconds`` from the probe are nulled out (probe rows are
+    KEPT, with NULL payload — left-join semantics).
+
+    Reference analog: insar_vs_gnss temporal alignment discards GNSS
+    observations farther than a day from the SAR acquisition. Runs as the
+    same one-shuffle union-sort-window scan as asof_join plus a row-local
+    conditional — no extra shuffle. pandas.merge_asof(tolerance=...)
+    semantics."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+    out = asof_join(
+        left, right, key, ts,
+        value_cols=value_cols, right_ts_alias=right_ts_alias,
+        direction=direction,
+    )
+    # microsecond precision: a whole-second cast truncates, flipping rows
+    # whose gap is in (tol, tol+1) s vs an interval-compare oracle
+    gap = F.abs(
+        F.unix_micros(F.col(ts).cast("timestamp"))
+        - F.unix_micros(F.col(right_ts_alias).cast("timestamp"))
+    )
+    keep = F.col(right_ts_alias).isNotNull() & (
+        gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+    )
+    cols = []
+    for c in out.columns:
+        if c == right_ts_alias or c in value_cols:
+            cols.append(F.when(keep, F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return out.select(*cols)

@@ -386,3 +386,106 @@ def quantile_from_histogram(
         hit.groupBy(key, "bucket_start")
         .agg(F.min(edge).alias("q_approx"))
     )
+
+
+def plan_range_cover(
+    t0: str, t1: str, tiers: tuple[str, ...] = ("1h", "1d", "30d")
+) -> list[tuple[str, str, str]]:
+    """Decompose [t0, t1) into the minimal tier-aligned cover: greedy from
+    the COARSEST tier, each finer tier (finally raw) covering only the
+    fringe the coarser one could not. Returns [(tier_or_'raw', lo, hi)]
+    with ISO-second boundaries. Pure driver-side planning on two
+    timestamps — no data touched. This is the TimescaleDB real-time
+    continuous-aggregate read path: an arbitrary range is answered almost
+    entirely from stored partials, raw rows only inside the sub-hour
+    fringe (at 10^12 docs: tier rows ~10^-4 of raw for the interior)."""
+    from datetime import datetime
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    epoch = datetime(1970, 1, 1)
+
+    def to_sec(s: str) -> int:
+        return int((datetime.strptime(s, fmt) - epoch).total_seconds())
+
+    def to_str(sec: int) -> str:
+        from datetime import timedelta
+
+        return (epoch + timedelta(seconds=sec)).strftime(fmt)
+
+    pieces: list[tuple[str, int, int]] = []
+    segments = [(to_sec(t0), to_sec(t1))]
+    # 1h/1d use date_trunc under session tz UTC == epoch-anchored; 30d is
+    # epoch-anchored by construction (timefn.bucket_start), so integer
+    # ceil/floor on epoch seconds reproduces bucket alignment exactly.
+    for tier in sorted(tiers, key=lambda t: -TIER_SECONDS[t]):
+        w = TIER_SECONDS[tier]
+        nxt: list[tuple[int, int]] = []
+        for a, b in segments:
+            lo = a if a % w == 0 else a - a % w + w
+            hi = b - b % w
+            if lo < hi:
+                pieces.append((tier, lo, hi))
+                if a < lo:
+                    nxt.append((a, lo))
+                if hi < b:
+                    nxt.append((hi, b))
+            else:
+                nxt.append((a, b))
+        segments = nxt
+    for a, b in segments:
+        if a < b:
+            pieces.append(("raw", a, b))
+    return [(t, to_str(a), to_str(b)) for t, a, b in pieces]
+
+
+def route_range_agg(
+    obs: DataFrame,
+    tiers: dict[str, DataFrame],
+    t0: str,
+    t1: str,
+    value_col: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Answer ``SELECT key, cnt/sum/min/max WHERE ts in [t0, t1)`` by
+    stitching stored tier partials for the tier-aligned interior with raw
+    observations on the fringes (plan_range_cover), then one partial
+    merge. Each tier piece is a bucket_start range filter (partition-
+    prunable on stored tier tables); each raw piece pushes its ts
+    predicate into the scan. Reference analog: temporal subsetting +
+    temporal_average (stack.py:451-456) — but answered from the
+    continuous-aggregate tiers instead of the raw stack."""
+    cover = plan_range_cover(t0, t1, tuple(tiers))
+    parts: list[DataFrame] = []
+    for tier, lo, hi in cover:
+        if tier == "raw":
+            parts.append(
+                obs.where(
+                    (F.col(ts) >= F.lit(lo).cast("timestamp"))
+                    & (F.col(ts) < F.lit(hi).cast("timestamp"))
+                )
+                .groupBy(key)
+                .agg(
+                    F.count(value_col).alias("cnt"),
+                    F.sum(value_col).alias("vsum"),
+                    F.min(value_col).alias("vmin"),
+                    F.max(value_col).alias("vmax"),
+                )
+            )
+        else:
+            t = tiers[tier]
+            parts.append(
+                t.where(
+                    (F.col("bucket_start") >= F.lit(lo).cast("timestamp"))
+                    & (F.col("bucket_start") < F.lit(hi).cast("timestamp"))
+                ).select(key, "cnt", "vsum", "vmin", "vmax")
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(key).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )

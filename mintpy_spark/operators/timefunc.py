@@ -308,3 +308,73 @@ def linear_velocity(
             "num_obs",
         )
     )
+
+
+def velocity_partials(
+    obs: DataFrame,
+    value_col: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    ref_year: float = 0.0,
+    bucket: str = "1d",
+) -> DataFrame:
+    """Per-(key, bucket) regression sufficient statistics
+    ``(n, sx, sy, sxx, sxy)`` with x = decimal_year - ref_year.
+
+    The continuous-aggregate form of linear velocity
+    (timeseries2velocity's degree-1 fit, reference
+    src/mintpy/timeseries2velocity.py:573-589): the normal equations of an
+    OLS line depend on the data only through these five sums, which add
+    across any partition of the observations. Store them per tier bucket
+    and the velocity over ANY bucket-aligned time range — including
+    incremental updates when a new day of crawls lands — is a merge of
+    tier rows, never a raw re-read. Pure Catalyst partial+final hash
+    aggregation; one shuffle."""
+    from mintpy_spark.functions.timefn import bucket_start, decimal_year
+
+    x = decimal_year(F.col(ts)) - F.lit(float(ref_year))
+    v = F.col(value_col).cast("double")
+    return (
+        obs.select(
+            key,
+            bucket_start(F.col(ts), bucket).alias("bucket_start"),
+            x.alias("x"),
+            v.alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("v").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("v")).alias("sxy"),
+        )
+    )
+
+
+def merge_velocity_partials(partials: DataFrame, key: str = "url") -> DataFrame:
+    """Collapse bucket-level sufficient statistics to one row per key —
+    the merge step of the decomposable-regression aggregate."""
+    return partials.groupBy(key).agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    )
+
+
+def velocity_from_partials(merged: DataFrame, key: str = "url") -> DataFrame:
+    """Solve the 2x2 normal equations from merged sufficient statistics:
+    slope = (n*sxy - sx*sy) / (n*sxx - sx^2), intercept = (sy - slope*sx)/n.
+    Identical to linear_velocity() up to float summation order."""
+    n = F.col("n").cast("double")
+    det = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    return merged.select(
+        key,
+        slope.alias("velocity"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        F.col("n").alias("num_obs"),
+    )

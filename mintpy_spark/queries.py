@@ -426,6 +426,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simsearch_ivf_topk_c64",
     "multimodal_decode_stats",
     "text_langid_wide",
+    "tier_route_range",
+    "velocity_partials_merge",
+    "cusum_changepoint_daily",
+    "deseasonalize_dow_variance",
+    "asof_tolerance_1h",
+    "rollup_1d_distinct",
+    "orders_prior_90d_window",
 )
 
 

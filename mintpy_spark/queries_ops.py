@@ -666,3 +666,39 @@ def pair_reconstruct_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "orders_prior_90d_window",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT)          AS orders_90d,
+           ROUND(SUM(o_totalprice) OVER w, 2)       AS spend_90d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate
+      RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def orders_prior_90d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time range frame: per order, the same customer's
+    order count and spend over the trailing 90 days (peer-inclusive RANGE
+    frame in both engines; Spark's frame runs over epoch seconds — dates
+    have no sub-second component, so whole-second framing is exact).
+    One shuffle on the customer key, no self-join fan-out — the
+    trailing-window pattern of the reference's temporal sliding filters
+    (filters.py running windows) applied to an OLAP fact table."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("orders_90d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )

@@ -733,3 +733,244 @@ def closure_bias_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "grp", F.round("velocity", 4).alias("velocity"), "num_obs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: continuous-aggregate range routing, mergeable regression partials,
+# changepoint detection, seasonal decomposition, bounded-staleness as-of.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tier_route_range",
+    """
+    SELECT user_id,
+           COUNT(value)         AS cnt,
+           ROUND(SUM(value), 2) AS vsum,
+           MIN(value)           AS vmin,
+           MAX(value)           AS vmax
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 05:30:00'
+      AND ts <  TIMESTAMP '2024-01-27 17:45:00'
+    GROUP BY user_id
+    """,
+)
+def tier_route_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous-aggregate routing: an arbitrary sub-hour-
+    aligned time range is answered by stitching 1d-tier partials for the
+    interior days, 1h-tier partials for the edge hours, and raw rows only
+    inside the two sub-hour fringes (rollup.plan_range_cover), then one
+    partial merge. The oracle aggregates raw directly — proving the
+    routed decomposition loses nothing. At 10^12 docs the interior reads
+    tier rows (~10^-4 of raw); only minutes of raw data are scanned."""
+    from mintpy_spark.operators.rollup import build_tiers, route_range_agg
+
+    ev = load(spark, sf_dir, "events")
+    tiers = build_tiers(ev, "value", tiers=("1h", "1d"), key="user_id", ts="ts")
+    out = route_range_agg(
+        ev, tiers, "2024-01-03 05:30:00", "2024-01-27 17:45:00",
+        "value", key="user_id", ts="ts",
+    )
+    return out.select(
+        "user_id", "cnt", F.round("vsum", 2).alias("vsum"), "vmin", "vmax"
+    )
+
+
+@_q(
+    "velocity_partials_merge",
+    f"""
+    SELECT user_id,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS velocity,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept,
+           CAST(n AS BIGINT) AS num_obs
+    FROM (
+      SELECT user_id,
+             CAST(COUNT(value) AS DOUBLE) AS n,
+             SUM(x)                       AS sx,
+             SUM(value)                   AS sy,
+             SUM(x * x)                   AS sxx,
+             SUM(x * value)               AS sxy
+      FROM (SELECT user_id, value,
+                   {_DY_SQL.format(t='ts')} - 2024.0 AS x
+            FROM events)
+      GROUP BY user_id
+    )
+    """,
+)
+def velocity_partials_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear velocity as a DECOMPOSABLE aggregate: per-(key, 1d-bucket)
+    sufficient statistics (n, sx, sy, sxx, sxy) -> merge -> closed-form
+    2x2 normal-equation solve. The sums add across any partition of the
+    data, so velocity becomes tier-maintainable: a new day of crawls
+    updates one bucket's partials and re-solves — no raw-history re-read
+    (the incremental form of timeseries2velocity.py:573-589). Oracle fits
+    directly on raw with the same formula."""
+    from mintpy_spark.operators.timefunc import (
+        merge_velocity_partials,
+        velocity_from_partials,
+        velocity_partials,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    p = velocity_partials(ev, "value", key="user_id", ts="ts", ref_year=2024.0)
+    out = velocity_from_partials(merge_velocity_partials(p, key="user_id"), key="user_id")
+    return out.select(
+        "user_id",
+        F.round("velocity", 4).alias("velocity"),
+        F.round("intercept", 4).alias("intercept"),
+        F.col("num_obs").cast("long").alias("num_obs"),
+    )
+
+
+@_q(
+    "cusum_changepoint_daily",
+    """
+    WITH c AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, bucket_start,
+             CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY bucket_start) AS BIGINT) AS sk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket_start) AS BIGINT) AS k,
+             CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS sn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM c
+    ),
+    d AS (
+      SELECT user_id, bucket_start, abs(n * sk - k * sn) AS dev, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY abs(n * sk - k * sn) DESC, bucket_start ASC) AS rk
+      FROM r
+    )
+    SELECT user_id,
+           bucket_start        AS cp_bucket,
+           CAST(dev AS BIGINT) AS max_dev_n,
+           n                   AS n_buckets
+    FROM d WHERE rk = 1
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown-step localization per key: exact-integer CUSUM argmax over
+    the 1d count tier (operators/changepoint.py — the unknown-date
+    counterpart of the reference's known-date step regressor,
+    objects/timefunc.py step columns). Integer numerator n*S_k - k*S_n
+    makes the argmax bit-reproducible across engines/partitionings."""
+    from mintpy_spark.operators.changepoint import cusum_changepoint, daily_counts
+
+    ev = load(spark, sf_dir, "events")
+    out = cusum_changepoint(daily_counts(ev, key="user_id", ts="ts"), key="user_id")
+    return out.select(
+        "user_id", "cp_bucket",
+        F.col("max_dev_n").cast("long").alias("max_dev_n"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+@_q(
+    "deseasonalize_dow_variance",
+    """
+    WITH g AS (
+      SELECT user_id, dayofweek(ts) AS dow,
+             COUNT(value)    AS n_g,
+             var_pop(value)  AS var_g
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(n_g) AS BIGINT)                 AS num_obs,
+           ROUND(SUM(n_g * var_g) / SUM(n_g), 4)    AS var_within_dow
+    FROM g GROUP BY user_id
+    """,
+)
+def deseasonalize_dow_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition via the law of total variance:
+    the within-group variance (residual variance after removing the
+    per-(key, dow) seasonal mean) computed as the count-weighted mean of
+    per-dow population variances — two cheap hash aggregations, never a
+    row-level mean-subtract join. The periodic-component analog of the
+    reference's periodic time-function regressors (objects/timefunc.py
+    periodic columns) for weekly web-crawl seasonality."""
+    ev = load(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("user_id", F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count("value").alias("n_g"),
+            F.var_pop("value").alias("var_g"),
+        )
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum("n_g").cast("long").alias("num_obs"),
+            F.round(
+                F.sum(F.col("n_g") * F.col("var_g")) / F.sum("n_g"), 4
+            ).alias("var_within_dow"),
+        )
+    )
+
+
+@_q(
+    "asof_tolerance_1h",
+    """
+    SELECT p.user_id, p.ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN ROUND(c.value, 4) END AS value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN c.ts END AS asof_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join: the latest prior click per purchase,
+    nulled when staler than 1 hour (pandas merge_asof tolerance= /
+    insar_vs_gnss max-gap semantics). Same one-shuffle union-sort-window
+    scan as the plain as-of plus a row-local microsecond gap test."""
+    from mintpy_spark.operators.asof import asof_join_tolerance
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join_tolerance(
+        purchases, clicks, key="user_id", ts="ts", tolerance_seconds=3600,
+        value_cols=["value"],
+    )
+    return out.select(
+        "user_id", "ts", F.round("value", 4).alias("value"), "asof_ts"
+    )
+
+
+@_q(
+    "rollup_1d_distinct",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(DISTINCT value) AS n_distinct
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count tier in the mergeable two-level shape: pre-dedup at
+    (key, bucket, value) grain, then a plain count — the formulation that
+    scales (each level is a map-side-combining hash aggregation; no
+    count-distinct expand over the raw table, and the deduped grain is
+    what a stored distinct tier would persist)."""
+    from mintpy_spark.functions.timefn import bucket_start
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            bucket_start(F.col("ts"), "1d").alias("bucket_start"),
+            "value",
+        )
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .groupBy("user_id", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
