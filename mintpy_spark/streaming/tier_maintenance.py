@@ -89,11 +89,65 @@ class TierMaintainer:
     def _version_path(self, version: int, tier: str) -> str:
         return f"{self.root}/v{version:012d}/tier_{tier}"
 
-    def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
-        ver = self.committed_version(spark)
-        if ver is None:
-            raise FileNotFoundError(f"no committed tier version under {self.root}")
-        return spark.read.parquet(self._version_path(ver, tier))
+    def versions(self, spark: SparkSession) -> list[int]:
+        """All committed, still-retained versions, oldest first (GC keeps
+        the latest two — the snapshot set available for time travel)."""
+        fs, p = self._fs(spark, f"{self.root}/_commits")
+        if not fs.exists(p):
+            return []
+        retained = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v"):
+                v = int(name[1:])
+                _fs2, vp = self._fs(spark, f"{self.root}/v{v:012d}")
+                if fs.exists(vp):
+                    retained.append(v)
+        return sorted(retained)
+
+    def read_tier(
+        self, spark: SparkSession, tier: str, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read: the latest committed version by default, or an
+        explicit retained ``version`` for time travel (the Iceberg
+        snapshot-id read; GC bounds how far back is retained)."""
+        if version is None:
+            version = self.committed_version(spark)
+            if version is None:
+                raise FileNotFoundError(
+                    f"no committed tier version under {self.root}"
+                )
+        elif version not in self.versions(spark):
+            raise FileNotFoundError(
+                f"version {version} not committed/retained under {self.root} "
+                f"(retained: {self.versions(spark)})"
+            )
+        return spark.read.parquet(self._version_path(version, tier))
+
+    def read_realtime(
+        self, spark: SparkSession, tier: str, tail_obs: DataFrame
+    ) -> DataFrame:
+        """Real-time continuous aggregate: the committed tier partials
+        unioned with an on-the-fly aggregation of the NOT-yet-folded
+        observation tail, merged partial-wise — readers see exact
+        up-to-the-second buckets without waiting for the next maintenance
+        fold (TimescaleDB's materialized_only=false read path). Cost:
+        tier scan + tail-proportional aggregation; the tail is one
+        micro-batch, so this stays cheap at any stored scale."""
+        from mintpy_spark.operators.rollup import (
+            _merge_partials,
+            _partial_cols,
+            rollup_from_obs,
+        )
+
+        stored = self.read_tier(spark, tier)
+        tail = rollup_from_obs(
+            tail_obs, self.value_col, tier, key=self.key, ts=self.ts
+        )
+        cols = [self.key, "bucket_start", *_partial_cols(stored)]
+        return _merge_partials(
+            stored.select(*cols).unionByName(tail.select(*cols)), self.key
+        )
 
     def _commit(self, spark: SparkSession, version: int) -> None:
         fs, marker = self._fs(spark, f"{self.root}/_commits/v{version:012d}")

@@ -231,3 +231,56 @@ def test_tier_maintenance_replay_is_idempotent(spark, paths):
     assert m.committed_version(spark) == 1
     total = m.read_tier(spark, "1h").agg(F.sum("cnt")).first()[0]
     assert total == 9  # 6 + 3, no double counting anywhere
+
+
+def test_read_realtime_and_time_travel(spark, paths):
+    """read_realtime(committed tiers + unfolded tail) equals a batch
+    rebuild over everything; read_tier(version=...) time-travels to the
+    retained prior snapshot; unknown versions raise."""
+    import pytest
+
+    from mintpy_spark.operators.rollup import build_tiers
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    inp, store_root, ckpt = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    batch0 = spark.createDataFrame(
+        [
+            (f"u{u}", dt.datetime(2023, 1, d, h), 100 + u * 10 + h)
+            for u in range(3)
+            for d in (1, 2)
+            for h in (4, 16)
+        ],
+        sch,
+    )
+    tail = spark.createDataFrame(
+        [
+            ("u0", dt.datetime(2023, 1, 2, 16, 30), 999),  # updates a live bucket
+            ("u9", dt.datetime(2023, 1, 3, 5), 7),          # brand-new key/day
+        ],
+        sch,
+    )
+    m = TierMaintainer(store_root)
+    m.apply_delta(batch0, batch_id=0)
+
+    for t in m.tiers:
+        rt = m.read_realtime(spark, t, tail)
+        want = build_tiers(batch0.unionByName(tail), "text_length")[t]
+        j = rt.alias("g").join(want.alias("w"), ["url", "bucket_start"], "full")
+        assert j.where(F.col("g.cnt").isNull() | F.col("w.cnt").isNull()).count() == 0
+        bad = j.where(
+            (F.col("g.cnt") != F.col("w.cnt"))
+            | (F.col("g.vmin") != F.col("w.vmin"))
+            | (F.col("g.vmax") != F.col("w.vmax"))
+            | (F.abs(F.col("g.vsum") - F.col("w.vsum")) > 1e-6)
+        ).count()
+        assert bad == 0, t
+
+    # fold the tail as batch 1, then time-travel back to version 0
+    m.apply_delta(tail, batch_id=1)
+    assert m.versions(spark) == [0, 1]
+    v0 = m.read_tier(spark, "1h", version=0)
+    assert v0.where(F.col("url") == "u9").count() == 0
+    assert m.read_tier(spark, "1h").where(F.col("url") == "u9").count() == 1
+    with pytest.raises(FileNotFoundError):
+        m.read_tier(spark, "1h", version=77)
