@@ -489,3 +489,63 @@ def route_range_agg(
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
+
+
+def rollup_openclose(
+    obs: DataFrame, value_col: str, tier: str = "1d", key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """First/last-value tier (the OHLC open/close + counter-delta
+    partial): per (key, bucket) the value at the earliest and latest
+    timestamp, kept WITH their timestamps so the partial stays mergeable.
+
+    Determinism: open/close are min/max over struct(ts, value) —
+    lexicographic struct comparison breaks timestamp ties by value
+    identically in every engine and under any partitioning (argmin-by-ts
+    alone is tie-ambiguous). One map-side-combining hash aggregation.
+    ``delta = close - open`` is the Prometheus/TimescaleDB counter
+    "increase" per bucket (no reset handling — web crawl metrics are
+    gauges)."""
+    from mintpy_spark.functions.timefn import bucket_start
+
+    v = F.col(value_col).cast("double")
+    o = F.min(F.struct(F.col(ts).alias("t"), v.alias("v"))).alias("_o")
+    c = F.max(F.struct(F.col(ts).alias("t"), v.alias("v"))).alias("_c")
+    return (
+        obs.where(v.isNotNull())
+        .select(key, bucket_start(F.col(ts), tier).alias("bucket_start"),
+                F.col(ts).alias(ts), v.alias(value_col))
+        .groupBy(key, "bucket_start")
+        .agg(o, c, F.count(value_col).alias("cnt"))
+        .select(
+            key, "bucket_start",
+            F.col("_o.t").alias("open_t"), F.col("_o.v").alias("open_v"),
+            F.col("_c.t").alias("close_t"), F.col("_c.v").alias("close_v"),
+            "cnt",
+        )
+    )
+
+
+def cascade_openclose(tier_df: DataFrame, to_tier: str, key: str = "url") -> DataFrame:
+    """Merge open/close partials into a coarser tier: the struct-min/max
+    over (t, v) re-applies associatively, so coarser open/close tiers come
+    from the finer tier, never from raw."""
+    from mintpy_spark.functions.timefn import bucket_start
+
+    return (
+        tier_df.select(
+            key,
+            bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
+            F.struct(F.col("open_t").alias("t"), F.col("open_v").alias("v")).alias("_o"),
+            F.struct(F.col("close_t").alias("t"), F.col("close_v").alias("v")).alias("_c"),
+            "cnt",
+        )
+        .groupBy(key, "bucket_start")
+        .agg(F.min("_o").alias("_o"), F.max("_c").alias("_c"), F.sum("cnt").alias("cnt"))
+        .select(
+            key, "bucket_start",
+            F.col("_o.t").alias("open_t"), F.col("_o.v").alias("open_v"),
+            F.col("_c.t").alias("close_t"), F.col("_c.v").alias("close_v"),
+            "cnt",
+        )
+    )

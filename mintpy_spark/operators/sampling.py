@@ -1,0 +1,72 @@
+"""Deterministic hash-based sampling & splitting for training-data curation.
+
+A 10^12-doc corpus is sampled/split by a STABLE content-independent hash of
+the document id — never by rand(): reruns, resumed jobs, and different
+cluster sizes must all assign every document to the same stratum sample and
+train/val/test split (the reproducibility invariant of dataset curation
+pipelines). The hash is the cross-engine md5 recipe (first 15 hex chars as
+a 60-bit integer — see functions/scalars.py and the dedup operators), so
+the assignment is also verifiable row-for-row in any other engine.
+
+All operators are single-projection Catalyst plans (zero shuffles until
+the caller aggregates); rates are per-stratum via a broadcast map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stable_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): md5 of the stringified id,
+    first 15 hex digits as a long (always non-negative), mod buckets.
+    Cross-engine: DuckDB ('0x' || substring(md5(x), 1, 15))::BIGINT."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(int(buckets)))
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """train/val/test assignment by stable bucket: [0, train) -> train,
+    [train, train+val) -> val, rest -> test. Holdout membership never
+    changes as the corpus grows — a document's split depends only on its
+    own id."""
+    b = stable_bucket(F.col(id_col))
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 100,
+    flag_col: str = "sampled",
+) -> DataFrame:
+    """Per-stratum downsampling flag: keep a document iff its stable
+    bucket falls below its stratum's percentage (e.g. downweight English
+    to 10% while keeping low-resource languages whole — the standard
+    language-balancing pass). The rate map is a small literal CASE
+    (broadcast-free); independent of the split hash? No — the SAME bucket
+    drives both, deliberately: sampling composes with splitting without a
+    second hash column, and sub-sampling a stratum keeps the train/val/
+    test proportions within it."""
+    rates = rates_pct or {}
+    b = stable_bucket(F.col(id_col))
+    rate: Column = F.lit(int(default_pct))
+    for s, p in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == s, F.lit(int(p))).otherwise(rate)
+    return df.withColumn(flag_col, b < rate)

@@ -173,3 +173,76 @@ def temporal_coherence(
             "n",
         )
     )
+
+
+def time_weighted_average(
+    obs: DataFrame,
+    value_col: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key time-weighted average (left-continuous step
+    interpolation): sum(v_i * (t_{i+1} - t_i)) / (t_n - t_0) over the
+    key's observed span — the irregular-cadence mean a plain avg() gets
+    wrong when crawl density varies (TimescaleDB time_weight 'LOCF').
+    Durations are exact integer microseconds. ``order_cols`` break
+    timestamp ties (pass a unique id column): duplicate timestamps give
+    zero-duration rows, but WHICH duplicate carries the forward interval
+    depends on the order, so the tie-break must be deterministic.
+    One shuffle on the key (window + aggregation share the clustering)."""
+    from pyspark.sql import Window
+
+    mic = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    dur = F.lead(mic).over(w) - mic
+    v = F.col(value_col).cast("double")
+    return (
+        obs.select(
+            key, F.col(ts).alias(ts), v.alias("_v"), mic.alias("_mic"),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn("_dur", dur)
+        .groupBy(key)
+        .agg(
+            (F.sum(F.col("_v") * F.col("_dur")) / F.sum("_dur")).alias("twa"),
+            F.count("_v").alias("num_obs"),
+        )
+    )
+
+
+def heartbeat_gaps(
+    obs: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    order_cols: tuple[str, ...] = (),
+    dead_threshold_seconds: int = 21600,
+) -> DataFrame:
+    """Per-key liveness profile from inter-observation gaps: the maximum
+    gap and the number of "dead" intervals exceeding the threshold
+    (TimescaleDB heartbeat_agg analog; the crawl-freshness SLA monitor).
+    Gaps are exact integer microseconds — bit-reproducible across engines
+    and partitionings. Same one-shuffle window+agg shape as
+    time_weighted_average."""
+    from pyspark.sql import Window
+
+    mic = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    gap = F.lead(mic).over(w) - mic
+    thresh = int(dead_threshold_seconds) * 1_000_000
+    return (
+        obs.select(key, F.col(ts).alias(ts), mic.alias("_mic"),
+                   *[F.col(c) for c in order_cols])
+        .withColumn("_gap", gap)
+        .groupBy(key)
+        .agg(
+            F.max("_gap").alias("max_gap_us"),
+            F.sum(
+                F.when(F.col("_gap") > F.lit(thresh), 1).otherwise(0)
+            ).alias("n_dead_intervals"),
+        )
+    )

@@ -433,6 +433,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_tolerance_1h",
     "rollup_1d_distinct",
     "orders_prior_90d_window",
+    "rollup_1d_openclose",
+    "time_weighted_avg",
+    "heartbeat_max_gap",
+    "sample_stratified_split",
 )
 
 

@@ -974,3 +974,103 @@ def rollup_1d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket_start")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
+
+
+@_q(
+    "rollup_1d_openclose",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP)   AS bucket_start,
+           (min({'t': ts, 'v': value})).t             AS open_t,
+           ROUND((min({'t': ts, 'v': value})).v, 4)   AS open_v,
+           (max({'t': ts, 'v': value})).t             AS close_t,
+           ROUND((max({'t': ts, 'v': value})).v, 4)   AS close_v,
+           ROUND((max({'t': ts, 'v': value})).v
+                 - (min({'t': ts, 'v': value})).v, 4) AS delta,
+           COUNT(value)                               AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def rollup_1d_openclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-value tier (OHLC open/close) with the counter-delta
+    per bucket — mergeable struct-min/max partials
+    (rollup.rollup_openclose), timestamp ties broken by value
+    lexicographically in both engines."""
+    from mintpy_spark.operators.rollup import rollup_openclose
+
+    ev = load(spark, sf_dir, "events")
+    t = rollup_openclose(ev, "value", "1d", key="user_id", ts="ts")
+    return t.select(
+        "user_id", "bucket_start",
+        "open_t", F.round("open_v", 4).alias("open_v"),
+        "close_t", F.round("close_v", 4).alias("close_v"),
+        F.round(F.col("close_v") - F.col("open_v"), 4).alias("delta"),
+        "cnt",
+    )
+
+
+@_q(
+    "time_weighted_avg",
+    """
+    SELECT user_id,
+           ROUND(SUM(value * dur) / SUM(dur), 4) AS twa,
+           COUNT(value)                          AS num_obs
+    FROM (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dur
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-continuous time-weighted mean per key over exact integer-
+    microsecond durations (stats.time_weighted_average) — the
+    irregular-cadence correction a plain avg() lacks; timestamp ties
+    carry zero duration and are ordered by event_id in both engines."""
+    from mintpy_spark.operators.stats import time_weighted_average
+
+    ev = load(spark, sf_dir, "events")
+    out = time_weighted_average(
+        ev, "value", key="user_id", ts="ts", order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id", F.round("twa", 4).alias("twa"), "num_obs"
+    )
+
+
+@_q(
+    "heartbeat_max_gap",
+    """
+    SELECT user_id,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           CAST(SUM(CASE WHEN gap > 21600000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead_intervals
+    FROM (
+      SELECT user_id,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - epoch_us(ts) AS gap
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def heartbeat_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-liveness profile: per-key max inter-observation gap and the
+    number of dead intervals over 6 h (stats.heartbeat_gaps) — exact
+    integer microseconds, bit-reproducible."""
+    from mintpy_spark.operators.stats import heartbeat_gaps
+
+    ev = load(spark, sf_dir, "events")
+    out = heartbeat_gaps(
+        ev, key="user_id", ts="ts", order_cols=("event_id",),
+        dead_threshold_seconds=21600,
+    )
+    return out.select(
+        "user_id",
+        F.col("max_gap_us").cast("long").alias("max_gap_us"),
+        F.col("n_dead_intervals").cast("long").alias("n_dead_intervals"),
+    )

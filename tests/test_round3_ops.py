@@ -231,3 +231,104 @@ def test_asof_tolerance_subsecond_boundary(spark):
         left, right, key="url", ts="warc_ts", tolerance_seconds=3600
     ).collect()
     assert out[0]["v"] is None
+
+
+# ---------------------------------------------------------------------------
+# open/close tier + cascade
+# ---------------------------------------------------------------------------
+
+def test_openclose_cascade_matches_direct(spark, obs):
+    from mintpy_spark.operators.rollup import cascade_openclose, rollup_openclose
+
+    fine = rollup_openclose(obs, "text_length", "1h")
+    coarse = cascade_openclose(fine, "1d")
+    direct = rollup_openclose(obs, "text_length", "1d")
+    c = {(r["url"], r["bucket_start"]): r for r in coarse.collect()}
+    d = {(r["url"], r["bucket_start"]): r for r in direct.collect()}
+    assert c.keys() == d.keys() and len(d) > 0
+    for k in d:
+        for col in ("open_t", "open_v", "close_t", "close_v", "cnt"):
+            assert c[k][col] == d[k][col], (k, col)
+
+
+def test_openclose_tie_break_deterministic(spark):
+    from mintpy_spark.operators.rollup import rollup_openclose
+
+    t = datetime(2024, 1, 1, 8, 0, 0)
+    rows = [("k", t, 9.0), ("k", t, 3.0), ("k", t + timedelta(hours=2), 5.0)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    out = rollup_openclose(df, "v", "1d").collect()[0]
+    # equal-timestamp open resolves to the SMALLER value (struct order)
+    assert out["open_v"] == 3.0 and out["close_v"] == 5.0
+    assert out["cnt"] == 3
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average / heartbeat gaps
+# ---------------------------------------------------------------------------
+
+def test_time_weighted_average_step_series(spark):
+    from mintpy_spark.operators.stats import time_weighted_average
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        ("k", t, 10.0),                      # holds 1h at 10
+        ("k", t + timedelta(hours=1), 30.0), # holds 3h at 30
+        ("k", t + timedelta(hours=4), 0.0),  # last obs: no forward interval
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    out = time_weighted_average(df, "v").collect()[0]
+    assert out["twa"] == pytest.approx((10 * 1 + 30 * 3) / 4.0)
+    assert out["num_obs"] == 3
+
+
+def test_heartbeat_gaps_counts_dead_intervals(spark):
+    from mintpy_spark.operators.stats import heartbeat_gaps
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        ("k", t),
+        ("k", t + timedelta(hours=1)),
+        ("k", t + timedelta(hours=9)),   # 8h gap (dead > 6h)
+        ("k", t + timedelta(hours=10)),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = heartbeat_gaps(df, dead_threshold_seconds=21600).collect()[0]
+    assert out["max_gap_us"] == 8 * 3600 * 1_000_000
+    assert out["n_dead_intervals"] == 1
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting
+# ---------------------------------------------------------------------------
+
+def test_split_is_stable_and_growth_invariant(spark):
+    from mintpy_spark.operators.sampling import with_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s = {r["doc_id"]: r["split"] for r in with_split(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in with_split(big).collect()}
+    # corpus growth never moves an existing document between splits
+    assert all(b[k] == v for k, v in s.items())
+    from collections import Counter
+
+    frac = Counter(b.values())
+    assert 0.7 < frac["train"] / 2000 < 0.9
+    assert 0.05 < frac["val"] / 2000 < 0.15
+
+
+def test_stratified_sample_rates(spark):
+    from mintpy_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("sw").alias("lang"),
+    )
+    out = stratified_sample(df, rates_pct={"en": 10}).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("sampled").cast("int")).alias("kept"),
+    )
+    r = {x["lang"]: x for x in out.collect()}
+    assert r["sw"]["kept"] == r["sw"]["n"]          # default 100%
+    assert 0.05 < r["en"]["kept"] / r["en"]["n"] < 0.15
