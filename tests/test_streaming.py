@@ -284,3 +284,67 @@ def test_read_realtime_and_time_travel(spark, paths):
     assert m.read_tier(spark, "1h").where(F.col("url") == "u9").count() == 1
     with pytest.raises(FileNotFoundError):
         m.read_tier(spark, "1h", version=77)
+
+
+def test_query_job_routes_store_plus_tail(spark, paths, tmp_path, capsys):
+    """jobs/query_job.py: tiered range query over a maintained store plus
+    an unfolded tail equals direct aggregation over all observations in
+    the range."""
+    import json
+
+    from jobs.query_job import main as query_main
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    inp, store_root, ckpt = paths
+    sch = "url string, warc_ts timestamp, text_length double"
+    folded = spark.createDataFrame(
+        [
+            (f"u{u}", dt.datetime(2023, 1, d, h, 20), float(10 * u + d + h))
+            for u in range(3)
+            for d in range(1, 9)
+            for h in (2, 8, 14, 20)
+        ],
+        sch,
+    )
+    tail_rows = [
+        ("u0", dt.datetime(2023, 1, 5, 9, 5), 500.0),   # tier interior
+        ("u7", dt.datetime(2023, 1, 2, 3, 40), 700.0),  # new key, fringe-ish
+    ]
+    tail = spark.createDataFrame(tail_rows, sch)
+    m = TierMaintainer(store_root)
+    m.apply_delta(folded, batch_id=0)
+    tail_dir = str(tmp_path / "tail")
+    tail.write.parquet(tail_dir)
+
+    t0, t1 = "2023-01-02 03:30:00", "2023-01-08 14:10:00"
+    out_dir = str(tmp_path / "result")
+    query_main([
+        "--store", store_root, "--from", t0, "--to", t1,
+        "--tail", tail_dir, "--output", out_dir,
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    everything = folded.unionByName(tail)
+    want = (
+        everything.where(
+            (F.col("warc_ts") >= F.lit(t0).cast("timestamp"))
+            & (F.col("warc_ts") < F.lit(t1).cast("timestamp"))
+        )
+        .groupBy("url")
+        .agg(
+            F.count("text_length").alias("cnt"),
+            F.sum("text_length").alias("vsum"),
+            F.min("text_length").alias("vmin"),
+            F.max("text_length").alias("vmax"),
+        )
+    )
+    got = spark.read.parquet(out_dir)
+    w = {r["url"]: r for r in want.collect()}
+    g = {r["url"]: r for r in got.collect()}
+    assert set(w) == set(g) and "u7" in g
+    for k in w:
+        assert g[k]["cnt"] == w[k]["cnt"], k
+        assert g[k]["vmin"] == w[k]["vmin"] and g[k]["vmax"] == w[k]["vmax"], k
+        assert abs(g[k]["vsum"] - w[k]["vsum"]) < 1e-6, k
+    assert rep["n_keys"] == len(w)
+    assert rep["total_obs"] == sum(r["cnt"] for r in w.values())
