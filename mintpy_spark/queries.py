@@ -437,6 +437,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "time_weighted_avg",
     "heartbeat_max_gap",
     "sample_stratified_split",
+    "out_of_order_profile",
+    "rollup_1d_top3",
 )
 
 

@@ -1074,3 +1074,94 @@ def heartbeat_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_gap_us").cast("long").alias("max_gap_us"),
         F.col("n_dead_intervals").cast("long").alias("n_dead_intervals"),
     )
+
+
+@_q(
+    "out_of_order_profile",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN lateness > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(GREATEST(lateness, 0)) AS BIGINT) AS max_lateness_us,
+           COUNT(*) AS num_obs
+    FROM (
+      SELECT user_id,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) - epoch_us(ts) AS lateness
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data quantification per key: treating event_id as arrival
+    order, an observation is LATE if an already-arrived observation of
+    the same key has a newer event time (the watermark-lag profile that
+    sizes streaming watermarks and the tier maintainer's late-fold rate).
+    lateness = running-max(event time) - event time, exact integer
+    microseconds; one shuffle on the key."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    lateness = F.max(F.col("_mic")).over(w) - F.col("_mic")
+    return (
+        ev.select("user_id", F.col("event_id"), mic.alias("_mic"))
+        .withColumn("_late", lateness)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("_late") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.max(F.greatest(F.col("_late"), F.lit(0)))
+            .cast("long")
+            .alias("max_lateness_us"),
+            F.count(F.lit(1)).alias("num_obs"),
+        )
+    )
+
+
+@_q(
+    "rollup_1d_top3",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           ROUND(l[1], 4) AS v1,
+           ROUND(l[2], 4) AS v2,
+           ROUND(l[3], 4) AS v3
+    FROM (
+      SELECT user_id, date_trunc('day', ts) AS ts,
+             list_sort(list(value), 'DESC') AS l
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ) t(user_id, ts, l)
+    """,
+)
+def rollup_1d_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 values per (key, day) bucket as a mergeable tier partial
+    (a bounded sorted array merges associatively — the space-saving
+    sketch for per-bucket extremes). Collect-then-sort is deterministic
+    regardless of collect order; missing ranks yield NULL identically in
+    both engines."""
+    from mintpy_spark.functions.timefn import bucket_start
+
+    ev = load(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list("value"), asc=False)
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "user_id", bucket_start(F.col("ts"), "1d").alias("bucket_start")
+        )
+        .agg(arr.alias("_l"))
+        .select(
+            "user_id", "bucket_start",
+            F.round(F.get(F.col("_l"), 0), 4).alias("v1"),
+            F.round(F.get(F.col("_l"), 1), 4).alias("v2"),
+            F.round(F.get(F.col("_l"), 2), 4).alias("v3"),
+        )
+    )
