@@ -118,8 +118,13 @@ def bench_queries() -> dict[str, float]:
 def _rollup_job(spark, pages_path: str) -> tuple[int, float]:
     """The measured unit — the full production ingest as ONE job:
 
-        scan pages parquet -> extract_text (JVM expressions, byte-identity
-        path) -> obs projection -> repartition(hash(url)) -> 1h -> 1d -> 30d
+        scan pages parquet -> extract_text_length (JVM expressions; the
+        marker-arithmetic projection pushdown — every payload byte is
+        still decoded and scanned for the body markers, but the rollup
+        consumes only text_length so the body copy is pruned; parity with
+        the materializing byte-identity path is pinned by
+        tests/test_extract.py) -> obs projection ->
+        repartition(hash(url)) -> 1h -> 1d -> 30d
 
     The explicit repartition on the narrow projection is the engine's one
     shuffle: hash-partitioning on url satisfies the clustering requirement
@@ -130,13 +135,13 @@ def _rollup_job(spark, pages_path: str) -> tuple[int, float]:
     """
     from pyspark.sql import functions as F
 
-    from mintpy_spark.operators.observe import pages_to_obs_extracted
+    from mintpy_spark.operators.observe import pages_to_obs_lengths
     from mintpy_spark.operators.rollup import cascade, rollup_from_obs
 
     pages = spark.read.parquet(pages_path)
     t0 = time.time()
     obs = (
-        pages_to_obs_extracted(pages)
+        pages_to_obs_lengths(pages)
         .select("url", "warc_ts", "text_length")
         .repartition(128, F.col("url"))
     )

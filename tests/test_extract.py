@@ -60,6 +60,60 @@ def test_jvm_and_arrow_extractors_agree(spark):
     assert j.where(F.col("extracted_text") != F.col("arrow_text")).count() == 0
 
 
+def test_length_pruned_path_matches_materializing_path(spark):
+    """extract_text_length == octet_length(extract_text) row-for-row on
+    the correctness corpus — the equality that lets the ingest bench skip
+    the body copy."""
+    from mintpy_spark.operators.extract import extract_text, extract_text_length
+
+    pages = gen_pages(spark, num_urls=80)
+    slow = extract_text(pages).select(
+        "url", "warc_ts", F.octet_length("extracted_text").cast("long").alias("slow_len")
+    )
+    fast = extract_text_length(pages).select("url", "warc_ts", "text_length")
+    j = slow.join(fast, ["url", "warc_ts"])
+    assert j.count() > 0
+    assert (
+        j.where(
+            ~(F.col("slow_len").eqNullSafe(F.col("text_length")))
+        ).count()
+        == 0
+    )
+
+
+def test_length_pruned_path_null_semantics(spark):
+    """Malformed pages NULL out under the identical condition as
+    extract_text (marker presence/order is decode-view-independent)."""
+    from mintpy_spark.operators.extract import extract_text_length
+
+    rows = [
+        (1, b"<html><body>plain ascii</body></html>"),
+        (2, b"<html>\xff\xfe<body>" + "ünïcode ✓".encode() + b"</body>\x80</html>"),
+        (3, b"no markers"),
+        (4, b"</body><body>"),
+        (5, b"<body>a</body>mid</body>"),
+        (6, b"<body></body>"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {r.id: r.text_length for r in extract_text_length(df).collect()}
+    assert got[1] == len(b"plain ascii")
+    assert got[2] == len("ünïcode ✓".encode())
+    assert got[3] is None and got[4] is None and got[7] is None
+    assert got[5] == len(b"a</body>mid")
+    assert got[6] == 0
+
+
+def test_obs_lengths_matches_obs_extracted(spark):
+    from mintpy_spark.operators.observe import pages_to_obs_extracted, pages_to_obs_lengths
+
+    pages = gen_pages(spark, num_urls=50)
+    a = pages_to_obs_extracted(pages).drop("text_sha")
+    b = pages_to_obs_lengths(pages)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_jvm_extractor_malformed_and_unicode(spark):
     rows = [
         (1, b"<html><body>plain ascii</body></html>"),

@@ -61,6 +61,12 @@ def test_docs_quote_the_frozen_registry_count():
         f"README says {m.group(1)} queries, frozen manifest has {n} — "
         "update README.md in the same commit that changes the registry"
     )
+    baseline = open(os.path.join(root, "BASELINE.md")).read()
+    m2 = re.search(r"frozen registry to (\d+)", baseline)
+    assert m2, "BASELINE.md must state the registry count"
+    assert int(m2.group(1)) == n, (
+        f"BASELINE.md says {m2.group(1)} queries, frozen manifest has {n}"
+    )
 
 
 def test_verification_only_queries_have_scale_safe_twins():
