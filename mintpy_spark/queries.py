@@ -384,6 +384,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_dedup  # noqa: F401  (dedup/similarity queries)
     import mintpy_spark.queries_ext  # noqa: F401  (registers extended queries)
     import mintpy_spark.queries_ops  # noqa: F401  (diff/add/mask/decimate queries)
+    import mintpy_spark.queries_r3  # noqa: F401  (M4/KMV/counter/sliding queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -439,6 +440,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_stratified_split",
     "out_of_order_profile",
     "rollup_1d_top3",
+    # round-3 late additions (never driver-checked; keep total priority
+    # list at <= 50 so every entry lands in the driver snapshot)
+    "downsample_m4",
+    "rollup_1d_distinct_kmv",
+    "counter_increase_1d",
+    "rollup_7d_sliding",
+    "residual_acf1",
+    "props_extract_stats",
 )
 
 
