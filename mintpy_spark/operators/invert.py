@@ -36,6 +36,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _connected(di: np.ndarray, dj: np.ndarray, n: int) -> bool:
+    """Exact connectivity of the pair graph via union-find — decides
+    rank(A) == n-1 (incidence-matrix rank theorem) so the normal-equation
+    fast path is taken only when its system is provably nonsingular."""
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    comps = n
+    for a, b in zip(di.tolist(), dj.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            comps -= 1
+            if comps == 1:
+                return True
+    return comps == 1
+
+
 def network_invert(
     pairs: DataFrame,
     key: str = "url",
@@ -89,21 +112,20 @@ def network_invert(
         pdf = pdf[pdf[delta_col].notna()]
         if len(pdf) == 0:
             return pd.DataFrame({f.name: [] for f in schema.fields})
-        dates = np.unique(
-            np.concatenate([pdf[ts1].to_numpy(), pdf[ts2].to_numpy()])
-        )
-        idx = {d: i for i, d in enumerate(dates)}
-        n_pairs, n_dates = len(pdf), len(dates)
-        A = np.zeros((n_pairs, n_dates), dtype=np.float64)
-        rows = np.arange(n_pairs)
         # index through the numpy datetime64 values (iterating the pandas
         # column yields pd.Timestamp objects that don't hash-match them)
-        A[rows, [idx[d] for d in pdf[ts1].to_numpy()]] = -1.0
-        A[rows, [idx[d] for d in pdf[ts2].to_numpy()]] = 1.0
-        A = A[:, 1:]  # drop the reference (first-date) column
-        # redundancy check (ifgram_inversion.py:246-248): weakest date's
-        # pair count below threshold -> no-data output for the key
-        if A.shape[1] == 0 or int(np.min(np.sum(A != 0.0, axis=0))) < min_redundancy:
+        t1v, t2v = pdf[ts1].to_numpy(), pdf[ts2].to_numpy()
+        dates = np.unique(np.concatenate([t1v, t2v]))
+        idx = {d: i for i, d in enumerate(dates)}
+        n_pairs, n_dates = len(pdf), len(dates)
+        di = np.array([idx[d] for d in t1v], dtype=np.int64)
+        dj = np.array([idx[d] for d in t2v], dtype=np.int64)
+        # redundancy check (ifgram_inversion.py:246-248): weakest
+        # non-reference date's pair count below threshold -> no-data
+        # output for the key (computed from the index arrays — the dense
+        # design matrix is only materialized on the fallback path)
+        touch = np.bincount(di, minlength=n_dates) + np.bincount(dj, minlength=n_dates)
+        if n_dates < 2 or int(touch[1:].min()) < min_redundancy:
             return pd.DataFrame(
                 {
                     key: [k] * n_dates,
@@ -120,19 +142,53 @@ def network_invert(
                 }
             )
         d = pdf[delta_col].to_numpy(dtype=np.float64)
-        ws = None
+        wv = None
         if weight_col is not None:
-            ws = np.sqrt(pdf[weight_col].to_numpy(dtype=np.float64))
-        Aw = A if ws is None else A * ws[:, None]
-        dw = d if ws is None else d * ws
-        m = np.linalg.lstsq(Aw, dw, rcond=None)[0]
-        resid = d - A @ m
+            wv = pdf[weight_col].to_numpy(dtype=np.float64)
+
+        # Fast path: on a CONNECTED network the (weighted) normal
+        # equations A'WA m = A'Wd have the unique solution lstsq would
+        # return, and A'WA is the graph Laplacian of the pair network
+        # (restricted to non-reference dates) — assembled in O(pairs)
+        # scatter-adds instead of materializing the dense n_pairs x
+        # n_dates design matrix, then one dense Cholesky-sized solve
+        # (O(n^3/3) vs lstsq's SVD). Connectivity is decided exactly by
+        # union-find (rank(A) = n_dates - #components), so the
+        # nearly-singular-Laplacian trap never arises: disconnected
+        # networks take the dense lstsq fallback, whose minimum-norm
+        # solution the reference relies on (ifgram_inversion.py:368-389).
+        m = None
+        if sigma_col is None and _connected(di, dj, n_dates):
+            ww = np.ones(n_pairs) if wv is None else wv
+            lap = np.zeros((n_dates, n_dates), dtype=np.float64)
+            np.add.at(lap, (di, di), ww)
+            np.add.at(lap, (dj, dj), ww)
+            np.add.at(lap, (di, dj), -ww)
+            np.add.at(lap, (dj, di), -ww)
+            rhs = np.zeros(n_dates, dtype=np.float64)
+            np.add.at(rhs, dj, ww * d)
+            np.add.at(rhs, di, -(ww * d))
+            try:
+                m = np.linalg.solve(lap[1:, 1:], rhs[1:])
+            except np.linalg.LinAlgError:  # pragma: no cover - safety net
+                m = None
+        if m is None:
+            A = np.zeros((n_pairs, n_dates), dtype=np.float64)
+            rows = np.arange(n_pairs)
+            A[rows, di] = -1.0
+            A[rows, dj] = 1.0
+            A = A[:, 1:]  # drop the reference (first-date) column
+            ws = None if wv is None else np.sqrt(wv)
+            Aw = A if ws is None else A * ws[:, None]
+            dw = d if ws is None else d * ws
+            m = np.linalg.lstsq(Aw, dw, rcond=None)[0]
+        m_full = np.concatenate([[0.0], m])
+        resid = d - (m_full[dj] - m_full[di])
         coh = float(np.abs(np.exp(1j * resid).sum()) / n_pairs)
-        values = np.concatenate([[0.0], m])
         out = {
             key: [k] * n_dates,
             "ts": list(dates),
-            "value": values,
+            "value": m_full,
         }
         if sigma_col is not None:
             # estimate_timeseries_cov (ifgram_inversion.py:230-265):

@@ -151,3 +151,37 @@ def test_min_redundancy_masks_weak_network(spark):
         .orderBy("ts").toPandas()
     )
     assert np.allclose(out2["value"], series2, atol=1e-9)
+
+def test_disconnected_network_falls_back_to_min_norm(spark):
+    """Two disjoint chains in one key: union-find routes the solve to the
+    dense lstsq fallback, whose minimum-norm solution must match numpy's."""
+    rng = np.random.default_rng(7)
+    dates = pd.date_range("2024-01-01", periods=8, freq="7D")
+    rows = []
+    for i in (0, 1, 2):  # component A: dates 0-3 chain
+        rows.append((dates[i], dates[i + 1], float(i + 1)))
+    for i in (4, 5, 6):  # component B: dates 4-7 chain (no link to A)
+        rows.append((dates[i], dates[i + 1], float(10 * i)))
+    pdf = pd.DataFrame(rows, columns=["ts1", "ts2", "delta"])
+    pdf["url"] = "u0"
+    out = network_invert(spark.createDataFrame(pdf)).orderBy("ts").toPandas()
+    expect = _numpy_solve(dates, pdf)
+    assert np.allclose(out["value"].to_numpy()[1:], expect, atol=1e-9)
+    assert out["value"].iloc[0] == 0.0
+
+
+def test_laplacian_fast_path_matches_lstsq_weighted(spark):
+    """Connected weighted network: the Laplacian normal-equation fast path
+    must reproduce the dense weighted lstsq solution to float precision."""
+    rng = np.random.default_rng(11)
+    dates, _series, pdf = _network(rng, n_dates=20, noise=0.8, drop=7)
+    w = rng.uniform(0.2, 5.0, len(pdf))
+    pdf["w"] = w
+    pdf["url"] = "u0"
+    out = (
+        network_invert(spark.createDataFrame(pdf), weight_col="w")
+        .orderBy("ts")
+        .toPandas()
+    )
+    expect = _numpy_solve(dates, pdf, w=w)
+    assert np.allclose(out["value"].to_numpy()[1:], expect, atol=1e-8)
