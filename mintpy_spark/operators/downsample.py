@@ -115,3 +115,74 @@ def sliding_from_tier(
             F.max("vmax").over(w).alias("w_vmax"),
         )
     )
+
+
+def ltob_downsample(
+    obs: DataFrame,
+    value_col: str,
+    tier: str = "1d",
+    key: str = "url",
+    ts: str = "warc_ts",
+    value_scale: int = 100,
+) -> DataFrame:
+    """LTOB (Largest-Triangle-One-Bucket) downsampling: per (key, bucket)
+    keep the single observation whose triangle with its immediate raw
+    neighbors has the largest area (Steinarsson, "Downsampling Time Series
+    for Visual Representation", 2013 — public literature; the
+    shape-preserving sibling of :func:`m4_downsample`, and the
+    importance-weighted version of the reference's nearest-kept multilook
+    decimation, src/mintpy/stdproc/multilook.py:19).
+
+    Exactness discipline: the triangle area is computed ENTIRELY in 64-bit
+    integers — timestamps as epoch microseconds, values scaled by
+    ``value_scale`` (fixed-point; testdata values carry 2 decimals) via
+    ``floor(v*scale + 0.5)`` which is bit-identical across engines, unlike
+    ROUND's half-even/half-up divergence.  ``area2`` is twice the triangle
+    area (the cross product), never divided, so ranking is exact integer
+    comparison and the argmax is engine-portable.  Magnitude bound: gap(us)
+    * scaled-value-delta ~ 2.6e12 * 1e4 = 2.6e16 << 2^63.
+
+    Edge observations (no predecessor or no successor in the key's raw
+    series) carry NULL area and sort last (NULLS LAST in both engines), so
+    they are elected only when a bucket contains nothing else.  Ties break
+    on the earlier timestamp.  Plan: one hash shuffle on ``key`` feeds both
+    the neighbor window and the per-bucket rank window (same partitioning),
+    then a filter — no second exchange.
+    """
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    v_scaled = F.floor(F.col(value_col).cast("double") * value_scale + F.lit(0.5)).cast(
+        "long"
+    )
+    staged = obs.select(
+        key,
+        F.col(ts).alias("_ts"),
+        bucket_start(F.col(ts), tier).alias("bucket_start"),
+        t_us.alias("_t"),
+        v_scaled.alias("_v"),
+    )
+    wn = Window.partitionBy(key).orderBy("_t")
+    nbr = (
+        staged.withColumn("_tp", F.lag("_t").over(wn))
+        .withColumn("_vp", F.lag("_v").over(wn))
+        .withColumn("_tn", F.lead("_t").over(wn))
+        .withColumn("_vn", F.lead("_v").over(wn))
+    )
+    area2 = F.abs(
+        (F.col("_tp") - F.col("_tn")) * (F.col("_v") - F.col("_vp"))
+        - (F.col("_tp") - F.col("_t")) * (F.col("_vn") - F.col("_vp"))
+    )
+    wr = Window.partitionBy(key, "bucket_start").orderBy(
+        F.desc_nulls_last("area2"), F.asc("_t")
+    )
+    return (
+        nbr.withColumn("area2", area2)
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select(
+            key,
+            "bucket_start",
+            F.col("_ts").alias("ts"),
+            (F.col("_v").cast("double") / value_scale).alias("value"),
+            "area2",
+        )
+    )

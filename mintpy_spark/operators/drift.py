@@ -1,0 +1,69 @@
+"""Inter-snapshot content drift: shingle-set Jaccard between consecutive
+documents of a stream.
+
+The engine's north star is page-change velocity; the numeric tiers measure
+*how much metric values* change between crawls.  This operator measures how
+much the *content itself* changed: for each consecutive pair of documents
+in a stream (per-source here; per-url crawl snapshots in production), the
+Jaccard similarity of their 3-word shingle sets.  It is the content-level
+analog of the reference's pairwise interferogram: MintPy differences
+consecutive acquisitions into ifgrams (reference:
+src/mintpy/objects/stack.py:688 ifgramStack; sequential-pair network
+stack.py:1292-1352) — here the "difference" of two text snapshots is
+1 - Jaccard over shingles, the same primitive the dedup family uses
+(operators/dedup.py) pointed at the time axis instead of the corpus axis.
+
+Plan shape: one projection builds the distinct-shingle array per document
+(whole-stage codegen; the word array is staged once so the shingle lambda
+does not re-split the text per element), one window lag per stream brings
+the predecessor's array alongside, and the Jaccard is array_intersect /
+array-union arithmetic on the two arrays.  A single hash shuffle on the
+stream key; shingle arrays never explode into rows, so there is no
+token-level shuffle at any scale.  State per row is bounded by document
+length, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingle_set(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a space-tokenized text (empty array for
+    texts shorter than n words — guarded explicitly because Spark's
+    ``sequence(0, -1)`` yields a descending list, not an empty one)."""
+    words = F.split(text, " ")
+    k = F.size(words) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(k >= 1, shingles).otherwise(F.array()))
+
+
+def shingle_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    key: str = "source",
+    order_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(key, order_col, inter, union, jaccard) for every document with a
+    predecessor in its stream."""
+    staged = docs.select(
+        key, order_col, shingle_set(F.col(text_col), n).alias("sh")
+    )
+    w = Window.partitionBy(key).orderBy(order_col)
+    with_prev = staged.withColumn("prev", F.lag("sh").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("prev")))
+    union = F.size(F.array_distinct(F.concat(F.col("sh"), F.col("prev"))))
+    return with_prev.select(
+        key,
+        order_col,
+        inter.alias("inter"),
+        union.alias("union_sz"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )

@@ -1,0 +1,129 @@
+"""Robust (Theil-Sen) velocity estimation over irregular per-key series.
+
+MintPy estimates page^W pixel velocity by OLS over the full series
+(reference: src/mintpy/timeseries2velocity.py:130-455 run_timeseries2time_func;
+solver utils/time_func.py:36-72).  OLS is optimal under Gaussian noise but a
+single corrupted epoch (unwrap error in the reference; a parser glitch or
+bot-rewritten page in the web recast) drags the slope arbitrarily far.  The
+reference's own mitigation is MAD-based epoch exclusion
+(src/mintpy/timeseries_rms.py:35-72, already covered by `mad_outlier_days`);
+the *estimator-side* robust counterpart from the public literature is the
+Theil-Sen slope: the median of pairwise slopes
+
+    slope_ij = (v_j - v_i) / (t_j - t_i),   t = decimal year (365.25
+    convention, utils/ptime.py:193-227 — same column expression as the
+    OLS path so both estimators are comparable)
+
+which has a 29.3% breakdown point and needs no tuning.
+
+Scale shape
+-----------
+The full pairwise set is O(n^2) per key.  At the 10^12-page scale the
+engine bands the pair set exactly like the reference bands its
+interferogram network (sequential connections at levels 1..k,
+objects/stack.py:1292-1352 builds the same banded design): only pairs whose
+rank distance is <= ``max_lag`` contribute, giving O(n*k) rows out of the
+self-join.  The join is an equi-join on the series key with a rank-band
+predicate, so after the one hash shuffle on ``key`` every pair row is
+produced partition-locally; no cross-key data moves.  The banded median
+keeps the 29.3% breakdown property within each band (it is the estimator
+of Sen's original paper restricted to a bounded design — public
+literature), and at k >= n it degrades gracefully to the exact full
+Theil-Sen.
+
+Determinism: rank order is ``row_number() OVER (ORDER BY ts)`` per key —
+testdata timestamps carry microsecond entropy so ties are not a practical
+concern; equal-decimal-year pairs (same calendar second) are excluded in
+both the engine and the oracle (``t_j > t_i`` strictly) so no division by
+zero and no engine-dependent tie behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mintpy_spark.functions.timefn import decimal_year
+
+
+def pairwise_slopes(
+    obs: DataFrame,
+    value_col: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    max_lag: int | None = 20,
+    ref_year: float = 2024.0,
+) -> DataFrame:
+    """(key, slope) — one row per in-band observation pair of each key.
+
+    Banded path (``max_lag`` set): the band is expressed as ``max_lag``
+    lag columns over ONE window pass — slope j of a row pairs it with the
+    observation j ranks back — then exploded.  The whole pair generation
+    is a single hash shuffle on ``key`` (the window's), the later
+    ``groupBy(key)`` reuses that partitioning, and no self-join exists in
+    the plan (the join formulation costs 3 Exchanges; this costs 1).
+    Full path (``max_lag=None``): exact Theil-Sen needs all O(n^2) pairs —
+    a rank self-join, kept for verification/small-n use.
+    """
+    base = obs.select(
+        F.col(key).alias("k"),
+        (decimal_year(F.col(ts)) - F.lit(ref_year)).alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(ts).alias("_ts"),
+    )
+    if max_lag is not None:
+        w = Window.partitionBy("k").orderBy("_ts")
+        slopes = F.array(
+            *[
+                F.when(
+                    F.col("t") > F.lag("t", j).over(w),
+                    (F.col("v") - F.lag("v", j).over(w))
+                    / (F.col("t") - F.lag("t", j).over(w)),
+                )
+                for j in range(1, int(max_lag) + 1)
+            ]
+        )
+        return (
+            base.select(F.col("k").alias(key), slopes.alias("_s"))
+            .select(key, F.explode("_s").alias("slope"))
+            .where(F.col("slope").isNotNull())
+        )
+    rn = F.row_number().over(Window.partitionBy("k").orderBy("_ts"))
+    ranked = base.withColumn("rn", rn)
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cond = (F.col("a.k") == F.col("b.k")) & (F.col("b.rn") > F.col("a.rn"))
+    return (
+        a.join(b, cond)
+        .where(F.col("b.t") > F.col("a.t"))
+        .select(
+            F.col("a.k").alias(key),
+            ((F.col("b.v") - F.col("a.v")) / (F.col("b.t") - F.col("a.t"))).alias(
+                "slope"
+            ),
+        )
+    )
+
+
+def theil_sen_velocity(
+    obs: DataFrame,
+    value_col: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    max_lag: int | None = 20,
+    ref_year: float = 2024.0,
+) -> DataFrame:
+    """(key, velocity, num_pairs): median-of-pairwise-slopes per key.
+
+    ``percentile(slope, 0.5)`` is Spark's exact interpolating percentile —
+    the same linear-interpolation convention DuckDB's ``quantile_cont``
+    uses, so the two engines agree bit-for-bit on identically computed
+    slope sets.
+    """
+    slopes = pairwise_slopes(
+        obs, value_col, key=key, ts=ts, max_lag=max_lag, ref_year=ref_year
+    )
+    return slopes.groupBy(key).agg(
+        F.expr("percentile(slope, 0.5)").alias("velocity"),
+        F.count("slope").alias("num_pairs"),
+    )

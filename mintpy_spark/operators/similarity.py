@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -457,3 +459,80 @@ def kmeans_inertia(
         F.avg(F.lit(1.0) - F.array_max("_cs")).alias("inertia")
     ).first()
     return float(row["inertia"])
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) quantized similarity search
+# ---------------------------------------------------------------------------
+
+def sq_quantize(vec: Column, scale: float = 128.0) -> Column:
+    """Fixed-point scalar quantization of a float vector: each component
+    becomes ``floor(x*scale + 0.5)`` as a 64-bit integer.  floor(+0.5) is
+    used instead of ROUND because it is bit-identical across engines
+    (Spark ROUND is BigDecimal HALF_UP on the shortest decimal repr,
+    DuckDB rounds the scaled double — they disagree on half-way points;
+    floor on the same double never does).  This is the embedding-side
+    analog of the Gorilla fixed-point discipline the codec layer uses:
+    4 bytes/dim float32 -> ~1 byte/dim of entropy, and the quantized dot
+    product is EXACT integer arithmetic, so ranking is engine-portable
+    and reproducible under any partitioning."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
+    )
+
+
+def sq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    scale: float = 128.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force top-k by quantized integer dot product.
+
+    The query vector is quantized driver-side with the SAME floor(+0.5)
+    formula and inlined as an integer literal array, so the scan stays a
+    single whole-stage-codegen projection with zero exchanges and zero
+    Python (literal-constants-beat-cross-engine-functions discipline).
+    Magnitude bound: |q_i| <= scale, 64 dims -> |dot| <= 64*scale^2 ~ 1e6,
+    nowhere near ANSI overflow.  Ties break on the id for a deterministic
+    TakeOrderedAndProject."""
+    qints = [int(np.floor(float(x) * scale + 0.5)) for x in query_vec]
+    qlit = F.array(*[F.lit(v) for v in qints])
+    qdot = F.aggregate(
+        F.zip_with(sq_quantize(F.col(vec_col), scale), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.select(id_col, label_col, qdot.alias("qdot"))
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("qdot"), F.asc(id_col)).limit(k)
+
+
+def sq_topk_oracle_sql(
+    query_vec: list[float],
+    k: int = 10,
+    scale: float = 128.0,
+    exclude_id: int | None = None,
+) -> str:
+    """DuckDB replica of :func:`sq_topk` with the identical literal
+    quantized query vector."""
+    qints = [int(np.floor(float(x) * scale + 0.5)) for x in query_vec]
+    qlist = "[" + ", ".join(str(v) for v in qints) + "]"
+    where = f"WHERE vec_id <> {exclude_id}" if exclude_id is not None else ""
+    return f"""
+    SELECT vec_id, label, qdot FROM (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(
+               list_zip(
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)),
+                 {qlist}),
+               p -> p[1] * p[2])) AS BIGINT) AS qdot
+      FROM embeddings {where}
+    ) ORDER BY qdot DESC, vec_id LIMIT {k}
+    """

@@ -385,6 +385,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_ext  # noqa: F401  (registers extended queries)
     import mintpy_spark.queries_ops  # noqa: F401  (diff/add/mask/decimate queries)
     import mintpy_spark.queries_r3  # noqa: F401  (M4/KMV/counter/sliding queries)
+    import mintpy_spark.queries_r3c  # noqa: F401  (Theil-Sen/drift/LTOB/SQ queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
