@@ -106,3 +106,49 @@ def gaussian_filter(
         .withColumn("smoothed", num / den)
         .drop("_pairs")
     )
+
+
+def ewma_filter(
+    obs: DataFrame,
+    value_col: str,
+    alpha: float = 0.3,
+    max_lag: int = 8,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over the last
+    ``max_lag`` observations (inclusive of the current one).
+
+    The third member of the reference's temporal-filter family
+    (stack.py:481-541 has Gaussian and running-median kernels; the
+    exponential kernel is the streaming-friendly one — public
+    literature, e.g. Holt/Brown simple exponential smoothing).  Exact
+    truncated form: weights (1-alpha)^j for the observation j steps
+    back, normalized over the lags that EXIST (series starts are
+    normalized over the shorter window, the same convention the
+    Gaussian kernel uses for partial windows).
+
+    Plan shape: max_lag lag columns over one window — a single hash
+    shuffle on ``key``, no frame materialization, no Python.  Weights
+    are driver-computed double literals so an oracle can inline the
+    identical constants (literal-constants discipline).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    weights = [(1.0 - alpha) ** j for j in range(max_lag + 1)]
+    terms = [
+        (F.lag(F.col(value_col).cast("double"), j).over(w), F.lit(weights[j]))
+        for j in range(max_lag + 1)
+    ]
+    num = None
+    den = None
+    for v, wt in terms:
+        t_num = F.when(v.isNotNull(), v * wt).otherwise(F.lit(0.0))
+        t_den = F.when(v.isNotNull(), wt).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return obs.select(
+        key,
+        ts,
+        F.col(value_col).alias("value"),
+        (num / den).alias("ewma"),
+    )

@@ -171,3 +171,36 @@ def simsearch_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _ewma_oracle(alpha: float = 0.3, max_lag: int = 8) -> str:
+    """Inline the IDENTICAL weight literals the Spark plan uses; ::DOUBLE
+    because DuckDB types bare float literals as DECIMAL."""
+    ws = [(1.0 - alpha) ** j for j in range(max_lag + 1)]
+    num = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+        f" THEN lag(value, {j}) OVER w * {ws[j]!r}::DOUBLE ELSE 0.0 END"
+        for j in range(max_lag + 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+        f" THEN {ws[j]!r}::DOUBLE ELSE 0.0 END"
+        for j in range(max_lag + 1)
+    )
+    return f"""
+    SELECT user_id, ts, value, ROUND(({num}) / ({den}), 4) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+
+@_q("temporal_filter_ewma", _ewma_oracle())
+def temporal_filter_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA smoother (exponential member of the stack.py:481-541
+    temporal-filter family): 8-lag window, weights normalized over the
+    lags that exist. One shuffle, no Python, literal weights both sides."""
+    from mintpy_spark.operators.filters import ewma_filter
+
+    ev = load(spark, sf_dir, "events")
+    out = ewma_filter(ev, "value", alpha=0.3, max_lag=8, key="user_id", ts="ts")
+    return out.select("user_id", "ts", "value", F.round("ewma", 4).alias("ewma"))

@@ -190,3 +190,29 @@ def test_sq_quantize_engine_matches_driver_formula(spark):
         int(np.floor(np.float64(np.float32(x)) * 128.0 + 0.5)) for x in xs
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+def test_ewma_matches_numpy_truncated_kernel(spark):
+    from mintpy_spark.operators.filters import ewma_filter
+
+    rng = np.random.default_rng(9)
+    t0 = dt.datetime(2024, 1, 1)
+    vals = rng.normal(0, 2, 12).round(2)
+    rows = [("a", t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(vals)]
+    alpha, K = 0.3, 4
+    out = (
+        ewma_filter(_series(spark, rows), "v", alpha=alpha, max_lag=K,
+                    key="url", ts="warc_ts")
+        .orderBy("warc_ts")
+        .collect()
+    )
+    w = np.array([(1 - alpha) ** j for j in range(K + 1)])
+    for i, r in enumerate(out):
+        lo = max(0, i - K)
+        window = vals[lo : i + 1][::-1]  # j=0 is the current row
+        expect = float((window * w[: len(window)]).sum() / w[: len(window)].sum())
+        assert abs(r.ewma - expect) < 1e-12, (i, r.ewma, expect)
