@@ -86,3 +86,143 @@ def restore(
         F.col("value").alias(value_col),
     )
     return split["raw"].select(key, ts, value_col).unionByName(cold_obs)
+
+
+def compact_raw(
+    spark,
+    raw_path: str,
+    cutoff: str,
+    maintainer,
+    tier: str = "1h",
+    value_col: str | None = None,
+) -> dict:
+    """Downsample-then-delete: drop raw observations older than ``cutoff``
+    once the committed finest tier provably covers them (the TimescaleDB
+    ``drop_chunks``-after-continuous-aggregate lifecycle; the reference
+    instead keeps full stacks forever and leans on HDF5 chunk gzip,
+    stack.py:352-355 — affordable at image scale, not at 10^12 rows).
+
+    Safety gate (refuses, never silently loses data):
+    * ``cutoff`` must be aligned to a ``tier`` bucket boundary — a
+      misaligned cutoff would orphan the partial bucket between
+      ``floor(cutoff)`` and ``cutoff``;
+    * per (key, bucket) below the cutoff, the committed ``tier`` table
+      must account for EXACTLY the rows ever dropped plus the raw rows
+      about to be:  ``tier.cnt == ledger.dropped + raw.cnt``.  The
+      ledger (``<raw>.__compaction_ledger``, appended on every
+      compaction) is what makes the gate exact across REPEATED
+      compactions and late arrivals into already-compacted buckets: an
+      unfolded raw row makes ``ledger + raw > tier`` and the compaction
+      refuses — fold first, compact after.
+
+    Rewrite protocol (parquet-over-filesystem stand-in for an Iceberg
+    ``DELETE WHERE``): kept rows are written to ``<raw>.__compact_tmp``,
+    the old directory is renamed to ``<raw>.__old``, tmp renamed into
+    place, old removed.  A crash between the two renames leaves
+    ``.__old`` intact — recovery is renaming it back; the tier store is
+    never touched.  The compaction is recorded in the maintainer's
+    lineage metrics table (north-rule checkpoint discipline).
+    """
+    from mintpy_spark.functions.timefn import TIER_SECONDS
+
+    value_col = value_col or maintainer.value_col
+    ts = maintainer.ts
+    width = TIER_SECONDS[tier]
+    from datetime import datetime
+
+    cut_sec = int(
+        (datetime.strptime(cutoff, "%Y-%m-%d %H:%M:%S") - datetime(1970, 1, 1))
+        .total_seconds()
+    )
+    if cut_sec % width:
+        raise ValueError(
+            f"cutoff {cutoff} is not aligned to the {tier} tier boundary"
+        )
+    cut = F.lit(cutoff).cast("timestamp")
+
+    from mintpy_spark.functions.timefn import bucket_start
+
+    key = maintainer.key
+    raw = spark.read.parquet(raw_path)
+    old_rows = raw.where(F.col(ts) < cut)
+    drop_counts = (
+        old_rows.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key).alias("k"),
+            bucket_start(F.col(ts), tier).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("raw_cnt"))
+    )
+    ledger_path = raw_path.rstrip("/") + ".__compaction_ledger"
+    try:
+        ledger = (
+            spark.read.parquet(ledger_path)
+            .groupBy("k", "b")
+            .agg(F.sum("dropped").alias("led_cnt"))
+        )
+    except Exception:
+        ledger = None
+    tier_df = maintainer.read_tier(spark, tier)  # raises if none committed
+    tier_below = tier_df.where(F.col("bucket_start") < cut).select(
+        F.col(key).alias("k"),
+        F.col("bucket_start").alias("b"),
+        F.col("cnt").alias("tier_cnt"),
+    )
+    acc = tier_below.join(drop_counts, ["k", "b"], "full")
+    if ledger is not None:
+        acc = acc.join(ledger, ["k", "b"], "full")
+    else:
+        acc = acc.withColumn("led_cnt", F.lit(None).cast("long"))
+    bad = acc.where(
+        F.coalesce("tier_cnt", F.lit(0))
+        != F.coalesce("raw_cnt", F.lit(0)) + F.coalesce("led_cnt", F.lit(0))
+    )
+    n_bad = bad.count()
+    if n_bad:
+        ex = bad.limit(3).collect()
+        raise RuntimeError(
+            f"{n_bad} (key, {tier}-bucket) cells below {cutoff} where the "
+            f"committed tier != ledger + raw (e.g. {ex}) — fold the "
+            "outstanding delta before compacting"
+        )
+    raw_cnt = int(
+        drop_counts.agg(F.sum("raw_cnt").alias("c")).first()["c"] or 0
+    )
+
+    kept = raw.where(F.col(ts) >= cut)
+    kept_cnt = kept.count()
+    # pin the ledger delta BEFORE the swap — it is computed from the old
+    # raw directory, which is about to disappear
+    ledger_delta = drop_counts.select(
+        "k", "b", F.col("raw_cnt").alias("dropped")
+    ).localCheckpoint(eager=True)
+    tmp = raw_path.rstrip("/") + ".__compact_tmp"
+    old = raw_path.rstrip("/") + ".__old"
+    kept.write.mode("overwrite").parquet(tmp)
+    fs, raw_p = maintainer._fs(spark, raw_path)
+    _, tmp_p = maintainer._fs(spark, tmp)
+    _, old_p = maintainer._fs(spark, old)
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    fs.rename(raw_p, old_p)
+    fs.rename(tmp_p, raw_p)
+    fs.delete(old_p, True)
+    # ledger append AFTER the swap: a crash in between leaves the ledger
+    # short, which makes the next gate read tier > ledger + raw and
+    # refuse — the safe direction (no silent loss, operator fixes up)
+    ledger_delta.write.mode("append").parquet(ledger_path)
+    dropped = raw_cnt
+    maintainer.metrics.append(
+        [
+            {
+                "run_id": f"compact_{cutoff}",
+                "stage": f"compact_raw_{tier}",
+                "part_id": 0,
+                "input_fp": raw_path,
+                "row_count": int(kept_cnt),
+                "wall_ms": 0,
+                "status": "complete",
+            }
+        ]
+    )
+    return {"dropped": int(dropped), "kept": int(kept_cnt), "cutoff": cutoff}

@@ -348,3 +348,94 @@ def test_query_job_routes_store_plus_tail(spark, paths, tmp_path, capsys):
         assert abs(g[k]["vsum"] - w[k]["vsum"]) < 1e-6, k
     assert rep["n_keys"] == len(w)
     assert rep["total_obs"] == sum(r["cnt"] for r in w.values())
+
+
+def test_compact_raw_drops_covered_history_only(spark, paths):
+    """Downsample-then-delete lifecycle: raw below an aligned cutoff is
+    deleted once the committed 1h tier accounts for it; routed range
+    queries over the compacted store still answer exactly; misaligned
+    cutoffs and un-folded late data are refused."""
+    import pytest
+
+    from mintpy_spark.operators.retention import compact_raw
+    from mintpy_spark.operators.rollup import route_range_agg
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    inp, store_root, _ = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    rows = [
+        (f"u{u}", dt.datetime(2023, 1, d, h, 30), 100 + u * 10 + d + h)
+        for u in range(3)
+        for d in range(1, 8)
+        for h in (3, 9, 15)
+    ]
+    spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(inp)
+
+    m = TierMaintainer(store_root)
+    m.apply_delta(spark.read.parquet(inp), batch_id=0)
+
+    t0, t1 = "2023-01-01 00:00:00", "2023-01-08 00:00:00"
+
+    def routed():
+        tiers = {t: m.read_tier(spark, t) for t in ("1h", "1d")}
+        out = route_range_agg(
+            spark.read.parquet(inp), tiers, t0, t1, "text_length"
+        )
+        return {r.url: (r.cnt, r.vsum, r.vmin, r.vmax) for r in out.collect()}
+
+    before = routed()
+
+    with pytest.raises(ValueError):  # misaligned cutoff
+        compact_raw(spark, inp, "2023-01-04 00:30:00", m, tier="1h")
+
+    res = compact_raw(spark, inp, "2023-01-04 00:00:00", m, tier="1h")
+    assert res["dropped"] == 3 * 3 * 3 and res["kept"] == 3 * 4 * 3
+
+    left = spark.read.parquet(inp)
+    assert left.where(F.col("warc_ts") < "2023-01-04").count() == 0
+    assert routed() == before  # tier-covered history still answers exactly
+
+    # late data below the new horizon that was never folded: refused
+    late = spark.createDataFrame(
+        [("u0", dt.datetime(2023, 1, 5, 4, 30), 7)], sch
+    )
+    late.write.mode("append").parquet(inp)
+    with pytest.raises(RuntimeError):
+        compact_raw(spark, inp, "2023-01-06 00:00:00", m, tier="1h")
+    # fold it, then the same compaction goes through
+    m.apply_delta(late, batch_id=1)
+    res2 = compact_raw(spark, inp, "2023-01-06 00:00:00", m, tier="1h")
+    assert res2["dropped"] == 3 * 2 * 3 + 1
+
+
+def test_compact_raw_late_row_in_compacted_bucket(spark, paths):
+    """A late row that lands in an ALREADY-compacted bucket: refused while
+    unfolded (ledger + raw > tier), dropped cleanly once folded (the
+    ledger is what makes this exact — tier == ledger + raw again)."""
+    import pytest
+
+    from mintpy_spark.operators.retention import compact_raw
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    inp, store_root, _ = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    rows = [
+        ("u0", dt.datetime(2023, 2, d, h), 10 * d + h)
+        for d in range(1, 5)
+        for h in (6, 18)
+    ]
+    spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(inp)
+    m = TierMaintainer(store_root)
+    m.apply_delta(spark.read.parquet(inp), batch_id=0)
+    compact_raw(spark, inp, "2023-02-03 00:00:00", m, tier="1h")
+
+    # late arrival INTO the compacted span (day 1)
+    late = spark.createDataFrame([("u0", dt.datetime(2023, 2, 1, 6), 99)], sch)
+    late.write.mode("append").parquet(inp)
+    with pytest.raises(RuntimeError):
+        compact_raw(spark, inp, "2023-02-04 00:00:00", m, tier="1h")
+    m.apply_delta(late, batch_id=1)
+    res = compact_raw(spark, inp, "2023-02-04 00:00:00", m, tier="1h")
+    # drops day 3 (2 rows) + the folded late day-1 row
+    assert res["dropped"] == 3
+    assert spark.read.parquet(inp).where(F.col("warc_ts") < "2023-02-04").count() == 0
