@@ -170,7 +170,10 @@ def network_invert(
             np.add.at(rhs, di, -(ww * d))
             try:
                 m = np.linalg.solve(lap[1:, 1:], rhs[1:])
-            except np.linalg.LinAlgError:  # pragma: no cover - safety net
+            except np.linalg.LinAlgError:
+                # reachable: a zero-weight pair is an edge for union-find
+                # but not for the Laplacian (exactly singular system) —
+                # fall back to the min-norm dense solve
                 m = None
         if m is None:
             A = np.zeros((n_pairs, n_dates), dtype=np.float64)

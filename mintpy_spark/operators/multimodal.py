@@ -7,9 +7,11 @@ tested. Decode has two real codecs and a stub tier:
 
 * ``decode_stub=False`` runs REAL pure-NumPy decoders for the two
   header+array container formats implementable without PIL/ffmpeg —
-  uncompressed 24-bpp BMP (decode_bmp) and 16-bit PCM WAV (decode_wav) —
-  and raises ``NotImplementedError`` at the exact call site where
-  PIL/ffmpeg would slot in for compressed formats (PNG/JPEG/MP4/...).
+  uncompressed 24-bpp BMP (decode_bmp), 8-bit truecolor PNG via stdlib
+  zlib (decode_png, all five scanline filters) and 16-bit PCM WAV
+  (decode_wav) — and raises ``NotImplementedError`` at the exact call
+  site where PIL/ffmpeg would slot in for the remaining formats
+  (JPEG/MP4/...).
 * ``decode_stub=True`` derives deterministic fake metadata/features from a
   payload digest for any format (plumbing tests, compressed formats).
 
@@ -202,6 +204,109 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, channels).copy(), rate
 
 
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) -> PNG bytes (8-bit truecolor, filter 0
+    scanlines, single zlib IDAT). Pure stdlib: zlib for the deflate
+    stream and CRCs — no PIL anywhere."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bitdepth 8, truecolor, deflate, filter0, no interlace
+    )
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()  # one filter-type-0 byte per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> RGB(A) uint8 array (h, w, 3|4). Real decode, pure
+    stdlib + NumPy: chunk walk, zlib-inflated IDAT, and full scanline
+    un-filtering (all five filter types 0-4). Supported profile: 8-bit
+    truecolor/truecolor-alpha, non-interlaced — the overwhelmingly common
+    web profile; palette/16-bit/interlaced is where PIL would slot in.
+
+    Un-filtering: None and Up vectorize whole-row; Sub is a per-lane
+    modular cumsum; Average and Paeth carry a nonlinear left-dependency,
+    so they fall back to a per-pixel loop on just those rows (an encoder
+    emitting filter 0, like ours, never pays it).
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, _comp, _filt, interlace = body[8:13]
+            if depth != 8 or ctype not in (2, 6) or interlace:
+                raise NotImplementedError(
+                    f"only 8-bit truecolor(+alpha) non-interlaced PNG decoded "
+                    f"here (depth={depth}, colortype={ctype}, "
+                    f"interlace={interlace}); other profiles need PIL"
+                )
+            ch = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * ch
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint16)
+    prior = np.zeros(stride, np.uint16)
+    for y in range(h):
+        ft, line = rows[y, 0], rows[y, 1:].astype(np.uint16)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif ft == 1:  # Sub: per-lane modular cumsum
+            rec = line.copy()
+            for k in range(ch):
+                rec[k::ch] = np.cumsum(line[k::ch], dtype=np.uint64) & 0xFF
+        else:  # Average (3) / Paeth (4): sequential left-dependency
+            rec = np.zeros(stride, np.uint16)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                if ft == 3:
+                    rec[i] = (int(line[i]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prior[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (int(line[i]) + pred) & 0xFF
+        out[y] = rec
+        prior = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
 def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
                                         int | None, int | None, int | None]:
     """Real metadata decode for the supported formats. For WAV, n_frames
@@ -211,13 +316,16 @@ def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
     if mtype == "image/bmp":
         img = decode_bmp(payload)
         return mtype, img.shape[1], img.shape[0], 1, None, None
+    if mtype == "image/png":
+        img = decode_png(payload)
+        return mtype, img.shape[1], img.shape[0], 1, None, None
     if mtype == "audio/wav":
         samples, rate = decode_wav(payload)
         frames = samples.shape[0]
         return mtype, None, None, frames, rate, frames * 1000 // rate
     raise NotImplementedError(
-        f"real decode for {mtype} requires PIL/ffmpeg; only BMP and WAV "
-        "have pure-NumPy decoders in this sandbox"
+        f"real decode for {mtype} requires PIL/ffmpeg; only BMP, PNG and "
+        "WAV have pure-NumPy/stdlib decoders in this sandbox"
     )
 
 
@@ -298,8 +406,9 @@ def extract_features(
 
     def _real_features(p: bytes) -> list[float]:
         mtype = sniff_media_type(p)
-        if mtype == "image/bmp":
-            lum = decode_bmp(p).astype(np.float32).mean(axis=2).ravel()
+        if mtype in ("image/bmp", "image/png"):
+            img = decode_bmp(p) if mtype == "image/bmp" else decode_png(p)[:, :, :3]
+            lum = img.astype(np.float32).mean(axis=2).ravel()
             hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
             v = hist.astype(np.float32)
         elif mtype == "audio/wav":
@@ -340,18 +449,20 @@ def extract_features(
 
 def synth_media_payload(doc_id: int) -> bytes:
     """Deterministic fixture payload for tests and the driver query:
-    even ids -> BMP with width=4+id%13, height=3+id%7; odd ids -> WAV with
+    even ids -> image with width=4+id%13, height=3+id%7 (id%4==0 -> PNG
+    through the zlib pipeline, id%4==2 -> BMP); odd ids -> WAV with
     rate in (8000, 16000, 44100) by id%3, frames=100+id%50,
     channels=1+(id//2)%2. The planted metadata is an analytic function of
     the id, so a SQL oracle can verify the REAL decoders recover it from
-    genuine container bytes (headers, padding, chunk walk — not a echo of
-    the formula)."""
+    genuine container bytes (headers, padding, chunk walk, inflate +
+    un-filter — not an echo of the formula)."""
     if doc_id % 2 == 0:
         w, h = 4 + doc_id % 13, 3 + doc_id % 7
         yy, xx = np.mgrid[0:h, 0:w]
         base = (xx * 3 + yy * 7 + doc_id).astype(np.int64)
         px = np.stack([base % 256, (base * 2) % 256, (base * 5) % 256], axis=2)
-        return encode_bmp(px.astype(np.uint8))
+        enc = encode_png if doc_id % 4 == 0 else encode_bmp
+        return enc(px.astype(np.uint8))
     rate = (8000, 16000, 44100)[doc_id % 3]
     frames = 100 + doc_id % 50
     ch = 1 + (doc_id // 2) % 2

@@ -450,6 +450,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "residual_acf1",
     "props_extract_stats",
 )
+# ROUND-4 NOTE: after CORRECTNESS_r03.json lands, rebuild this list as
+# (registry keys) - (r01 ∪ r02 ∪ r03 keys) — the batch-c queries
+# (velocity_theilsen, drift_shingle_jaccard, downsample_ltob_1d,
+# simsearch_sq_topk, temporal_filter_ewma) registered after the r3
+# snapshot order was frozen and must move to the head next round.
 
 
 def _ordered(d: dict) -> dict:

@@ -606,7 +606,8 @@ def olap_customers_with_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
     "multimodal_decode_stats",
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+           CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+                WHEN doc_id % 4 = 2 THEN 'image/bmp'
                 ELSE 'audio/wav' END AS media_type,
            CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT)
                 END AS width,
@@ -629,9 +630,10 @@ def olap_customers_with_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (reference analog: the
     utils/readfile.py:559-2110 format sniff + typed-metadata readers):
-    every doc gets a genuine container payload (BMP for even ids, WAV for
-    odd — synth_media_payload plants analytically-known metadata), then
-    decode_media(decode_stub=False) parses the actual bytes — BMP
+    every doc gets a genuine container payload (PNG for ids%4==0, BMP for
+    ids%4==2, WAV for odd — synth_media_payload plants analytically-known
+    metadata), then decode_media(decode_stub=False) parses the actual
+    bytes — PNG chunk walk + zlib inflate + scanline un-filter, BMP
     header/padding/orientation, RIFF chunk walk — and the oracle checks
     the decoders recovered every planted value. Pipeline shape is the
     production one: scan -> Arrow-batched payload map -> Arrow-batched

@@ -160,7 +160,7 @@ def test_decode_media_real_bmp_wav(spark):
     for i in range(10):
         r = out[i]
         if i % 2 == 0:
-            assert r.media_type == "image/bmp"
+            assert r.media_type == ("image/png" if i % 4 == 0 else "image/bmp")
             assert (r.width, r.height, r.n_frames) == (4 + i % 13, 3 + i % 7, 1)
             assert r.sample_rate is None and r.duration_ms is None
         else:
@@ -196,3 +196,91 @@ def test_extract_features_real_content(spark):
     assert sum(1 for x in rows[1] if x > 0) == 1
     # constant-amplitude audio: equal RMS per window -> uniform vector
     assert all(x == pytest.approx(1 / 8**0.5, rel=1e-5) for x in rows[2])
+
+
+def test_png_roundtrip_and_all_filters():
+    """decode_png recovers pixels byte-exactly from (a) our filter-0
+    encoder and (b) a spec-conformant stream using every filter type
+    0-4 (forward-filtered here per the PNG spec, independently of the
+    decoder's un-filtering)."""
+    import zlib
+
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import (
+        decode_png, encode_png, sniff_media_type,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    assert sniff_media_type(payload) == "image/png"
+    assert np.array_equal(decode_png(payload), img)
+
+    # hand-build a stream exercising filters 0..4 on successive rows
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(int)
+    out = bytearray()
+    for y in range(h):
+        ft = y % 5
+        cur, prior = flat[y], (flat[y - 1] if y else np.zeros(stride, int))
+        line = np.zeros(stride, int)
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prior[i]
+            c = prior[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (cur[i] - pred) & 0xFF
+        out += bytes([ft]) + bytes(line.tolist())
+
+    def chunk(tag, body):
+        return (len(body).to_bytes(4, "big") + tag + body
+                + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    crafted = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(out)))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(crafted), img)
+
+    # unsupported profile fails loudly at the PIL seam
+    bad_ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+
+
+def test_png_flows_through_decode_media_and_features(spark):
+    """PNG payloads run the REAL (non-stub) mapInPandas decode path and
+    produce the same luminance features as the equivalent BMP."""
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import (
+        decode_media, encode_bmp, encode_png, extract_features,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img))), (2, bytearray(encode_bmp(img)))],
+        "id long, payload binary",
+    )
+    meta = {r.id: r for r in decode_media(df, decode_stub=False).collect()}
+    assert meta[1].media_type == "image/png"
+    assert (meta[1].width, meta[1].height) == (9, 12)
+    feats = {r.id: r.features for r in
+             extract_features(df, decode_stub=False).collect()}
+    assert feats[1] == feats[2]  # same pixels -> identical histogram

@@ -185,3 +185,30 @@ def test_laplacian_fast_path_matches_lstsq_weighted(spark):
     )
     expect = _numpy_solve(dates, pdf, w=w)
     assert np.allclose(out["value"].to_numpy()[1:], expect, atol=1e-8)
+
+
+def test_zero_weight_bridge_falls_back_to_min_norm(spark):
+    """A zero-weight pair is an edge for union-find but contributes
+    nothing to the weighted Laplacian — the normal-equation system is
+    exactly singular and the solve must fall back to dense lstsq, whose
+    min-norm solution numpy reproduces."""
+    dates = pd.date_range("2024-01-01", periods=6, freq="7D")
+    rows = []
+    for i in (0, 1):       # component A chain
+        rows.append((dates[i], dates[i + 1], 1.0, 2.0))
+    for i in (3, 4):       # component B chain
+        rows.append((dates[i], dates[i + 1], 2.0, 3.0))
+    rows.append((dates[2], dates[3], 5.0, 0.0))  # zero-weight bridge
+    pdf = pd.DataFrame(rows, columns=["ts1", "ts2", "delta", "w"])
+    rows2 = [(dates[1], dates[2], 1.5, 1.0)]     # connect A fully
+    pdf = pd.concat(
+        [pdf, pd.DataFrame(rows2, columns=pdf.columns)], ignore_index=True
+    )
+    pdf["url"] = "u0"
+    out = (
+        network_invert(spark.createDataFrame(pdf), weight_col="w")
+        .orderBy("ts")
+        .toPandas()
+    )
+    expect = _numpy_solve(dates, pdf, w=pdf["w"].to_numpy())
+    assert np.allclose(out["value"].to_numpy()[1:], expect, atol=1e-8)
