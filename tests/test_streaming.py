@@ -439,3 +439,41 @@ def test_compact_raw_late_row_in_compacted_bucket(spark, paths):
     # drops day 3 (2 rows) + the folded late day-1 row
     assert res["dropped"] == 3
     assert spark.read.parquet(inp).where(F.col("warc_ts") < "2023-02-04").count() == 0
+
+
+def test_dedup_index_stream_equals_batch(spark, tmp_path):
+    """Streaming MinHash-LSH index: pairs emitted across batches must
+    equal the one-shot batch operator over everything ingested, each
+    pair exactly once; replays of committed batches are no-ops."""
+    from mintpy_spark.operators.dedup import minhash_near_dups
+    from mintpy_spark.streaming.dedup_stream import DedupIndexMaintainer
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1)
+    b3 = docs.where(F.col("doc_id") % 3 == 2)
+
+    m = DedupIndexMaintainer(str(tmp_path / "dedup_idx"), threshold=0.5)
+    m.apply_batch(b1, 0)
+    m.apply_batch(b2, 1)
+    m.apply_batch(b3, 2)
+
+    got = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in m.emitted_pairs(spark).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    assert got == want and len(got) > 0
+    # exactly-once: no pair twice across batches
+    total = m.emitted_pairs(spark).count()
+    assert total == m.emitted_pairs(spark).select("doc_a", "doc_b").distinct().count()
+
+    # replay of a committed batch: skipped, store unchanged
+    assert m.apply_batch(b2, 1) is None
+    assert m.emitted_pairs(spark).count() == total
+    assert m.committed_batches(spark) == [0, 1, 2]
