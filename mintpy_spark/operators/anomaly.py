@@ -1,0 +1,179 @@
+"""Per-observation anomaly detection via exact-integer rolling z-scores.
+
+Reference analog: MintPy flags outlier *epochs* by residual RMS + MAD
+(src/mintpy/timeseries_rms.py:34-120, `utils/utils1.py` MAD helpers); this
+operator is the per-observation streaming-shaped counterpart — each point
+is scored against the trailing window of its OWN series, the classic
+rolling z-score monitor a web-crawl pipeline runs per url (sudden
+text-length jumps = template change / defacement / paywall flip).
+
+Exactness at any scale: inputs are fixed-point (k-dp) values, so the
+quantized series ``v = floor(value*scale + 0.5)`` is exact int64 and the
+window partials n, s1 = Σv, s2 = Σv² are exact integers.  The anomaly
+predicate is evaluated in INTEGER arithmetic::
+
+    z² > T²  ⇔  (v·n − s1)² · (n−1)  >  T² · n · (n·s2 − s1²)
+
+so the flagged set is reproducible bit-for-bit across engines and
+partitionings — no float summation-order ambiguity at the decision
+boundary (the reported z itself is derived from the same exact integers
+through a fixed IEEE op sequence, identical in Spark and DuckDB).
+
+Plan shape: one window over (key ORDER BY ts) — a single hash Exchange on
+the series key (none at all when the input is already hash-partitioned on
+key, e.g. read from the bucketed obs table) and zero Python. The rows
+frame is O(lookback) state per key, the same shape Structured Streaming
+keeps for the online variant (streaming/change_detect.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantize_fixed(col: Column, scale: float = 100.0) -> Column:
+    """Engine-portable fixed-point quantization: floor(x*scale + 0.5)
+    (identical doubles -> identical ints in Spark/DuckDB/NumPy; ROUND
+    diverges at half-points)."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    value_col: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    lookback: int = 12,
+    min_obs: int = 8,
+    threshold: int = 3,
+    scale: float = 100.0,
+) -> DataFrame:
+    """(key, ts, value, n, dev, z) for observations whose deviation from
+    the trailing ``lookback``-row window mean exceeds ``threshold`` sample
+    standard deviations.
+
+    ``dev = v*n - s1`` is the exact integer deviation numerator (the
+    z-score scaled by n*std); ``z`` is the float z-score derived from the
+    same integer partials. Rows with fewer than ``min_obs`` predecessors
+    or zero window variance are never flagged (a constant window gives no
+    scale to judge against).
+
+    ``threshold`` must be an integer so the predicate stays in int64; the
+    common 2σ/3σ/4σ monitors all are. Overflow bound: with d-digit
+    quantized values, dev² ~ 10^(2d)·lookback² and the RHS
+    ~ threshold²·lookback²·10^(2d) — safe in int64 for d ≤ 7 at
+    lookback ≤ 100.
+    """
+    if threshold != int(threshold):
+        raise ValueError("threshold must be an integer (stays in int64)")
+    fr = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(-lookback, -1)
+    )
+    v = quantize_fixed(F.col(value_col), scale)
+    q = df.select(key, ts, value_col, v.alias("_v"))
+    n = F.count("_v").over(fr)
+    s1 = F.sum("_v").over(fr)
+    s2 = F.sum(F.col("_v") * F.col("_v")).over(fr)
+    w = q.select(
+        key,
+        ts,
+        value_col,
+        F.col("_v"),
+        n.alias("_n"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+    )
+    dev = F.col("_v") * F.col("_n") - F.col("_s1")
+    nvar = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    t2 = int(threshold) * int(threshold)
+    # z = dev / sqrt(n * nvar / (n-1)): fixed op sequence over exact ints
+    z = dev.cast("double") / F.sqrt(
+        F.col("_n").cast("double")
+        * nvar.cast("double")
+        / (F.col("_n") - F.lit(1)).cast("double")
+    )
+    return (
+        w.where(
+            (F.col("_n") >= F.lit(min_obs))
+            & (nvar > F.lit(0))
+            & (dev * dev * (F.col("_n") - F.lit(1)) > F.lit(t2) * F.col("_n") * nvar)
+        )
+        .select(
+            key,
+            ts,
+            value_col,
+            F.col("_n").alias("n"),
+            dev.alias("dev"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+def exact_group_corr(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    group: str,
+    min_n: int = 3,
+    use_decimal: bool = False,
+) -> DataFrame:
+    """Pearson correlation of two INTEGER metrics per group, computed from
+    exact integer partials (n, Σx, Σy, Σx², Σy², Σxy) so the float
+    division/sqrt sequence sees identical inputs on every engine and
+    partitioning::
+
+        corr = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    Reference analog: MintPy correlates velocity/residual fields against
+    DEM height to diagnose topography-coupled error
+    (src/mintpy/dem_error.py design reasoning; utils/utils1.py stats) —
+    here the same diagnostic runs per group over any two integral columns
+    (e.g. does document length track token count per source?).
+
+    One hash aggregation (map-side partials), zero Python, decomposable —
+    the partials merge across partitions/increments exactly like the tier
+    partials in operators/rollup.py. Groups with < ``min_n`` rows or zero
+    variance in either metric are dropped (corr undefined).
+
+    Overflow bound (int64 path): the cross terms peak at n²·max(|x|,|y|)²,
+    so groups are safe up to n ≈ 3e9 / max_metric (≈5.5M rows per group at
+    553-char docs). Past that, pass ``use_decimal=True``: partials and
+    cross terms run in DECIMAL(38,0) — exact to 1e38, covering 10^12-row
+    groups at 5-digit metrics — at the cost of decimal arithmetic in the
+    (already tiny, one-row-per-group) post-aggregation projection.
+    """
+    if use_decimal:
+        dec = "decimal(38,0)"
+        x, y = x.cast(dec), y.cast(dec)
+    agg = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    if use_decimal:
+        agg = agg.select(
+            group,
+            "n",
+            *[F.col(c).cast("decimal(38,0)").alias(c)
+              for c in ("sx", "sy", "sxx", "syy", "sxy")],
+        )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = num.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return agg.where(
+        (F.col("n") >= F.lit(min_n)) & (vx > F.lit(0)) & (vy > F.lit(0))
+    ).select(
+        group,
+        "n",
+        num.alias("corr_num"),
+        F.round(corr, 4).alias("corr"),
+    )

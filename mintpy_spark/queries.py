@@ -386,6 +386,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_ops  # noqa: F401  (diff/add/mask/decimate queries)
     import mintpy_spark.queries_r3  # noqa: F401  (M4/KMV/counter/sliding queries)
     import mintpy_spark.queries_r3c  # noqa: F401  (Theil-Sen/drift/LTOB/SQ queries)
+    import mintpy_spark.queries_r3d  # noqa: F401  (anomaly/correlation queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -451,10 +452,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "props_extract_stats",
 )
 # ROUND-4 NOTE: after CORRECTNESS_r03.json lands, rebuild this list as
-# (registry keys) - (r01 ∪ r02 ∪ r03 keys) — the batch-c queries
+# (registry keys) - (r01 ∪ r02 ∪ r03 keys) — the batch-c/d queries
 # (velocity_theilsen, drift_shingle_jaccard, downsample_ltob_1d,
-# simsearch_sq_topk, temporal_filter_ewma) registered after the r3
-# snapshot order was frozen and must move to the head next round.
+# simsearch_sq_topk, temporal_filter_ewma, anomaly_rolling_z,
+# corr_len_tokens) registered after the r3 snapshot order was frozen
+# and must move to the head next round.
 
 
 def _ordered(d: dict) -> dict:
