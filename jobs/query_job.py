@@ -122,11 +122,15 @@ def main(argv: list[str] | None = None) -> None:
                     F.max("vmax").alias("vmax"),
                 )
             )
+    # execute the routed pipeline ONCE: either read the just-written
+    # parquet back or persist — `result.count()` + `result.agg(...)` on
+    # the raw plan would re-run the whole tier-union DAG per action
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
-        n_keys = spark.read.parquet(args.output).count()
+        result = spark.read.parquet(args.output)
     else:
-        n_keys = result.count()
+        result = result.persist()
+    n_keys = result.count()
     stats = result.agg(
         F.sum("cnt").alias("total_obs"), F.sum("vsum").alias("total_sum")
     ).first()

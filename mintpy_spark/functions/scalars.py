@@ -30,6 +30,21 @@ UNIT_SCALE = {
 }
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit engine-portable uniform hash: first 15 hex chars of
+    md5(utf8(string(x))) as a non-negative long in [0, 16^15).
+    DuckDB twin: ``('0x' || substring(md5(x), 1, 15))::BIGINT``.
+
+    The ONE implementation of this recipe — dedup token hashing
+    (operators/dedup.token_hash), KMV sketches
+    (operators/sketch.portable_hash) and sampling buckets
+    (operators/sampling.stable_bucket) all delegate here, so the
+    cross-module hash identity can never silently fork."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def wrap(x: Column, lo: float = -math.pi, hi: float = math.pi) -> Column:
     """Wrap ``x`` into the half-open interval [lo, hi) — the phase-wrap
     pmod: lo + pmod(x - lo, hi - lo). pmod (not %) so negative inputs wrap

@@ -33,10 +33,14 @@ from pyspark.sql import functions as F
 
 
 def quantize_fixed(col: Column, scale: float = 100.0) -> Column:
-    """Engine-portable fixed-point quantization: floor(x*scale + 0.5)
-    (identical doubles -> identical ints in Spark/DuckDB/NumPy; ROUND
-    diverges at half-points)."""
-    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+    """Engine-portable fixed-point quantization of a FLOAT column:
+    floor(x*scale + 0.5) (identical doubles -> identical ints in
+    Spark/DuckDB/NumPy; ROUND diverges at half-points). NaN quantizes to
+    NULL — never to 0 (cast(NaN as long) is 0 non-ANSI / an error under
+    ANSI; either way a NaN observation must not enter a window as a
+    legitimate zero), matching the streaming twin's math.isnan skip."""
+    q = F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+    return F.when(F.isnan(col), F.lit(None).cast("long")).otherwise(q)
 
 
 def rolling_zscore_anomalies(
@@ -57,13 +61,18 @@ def rolling_zscore_anomalies(
     z-score scaled by n*std); ``z`` is the float z-score derived from the
     same integer partials. Rows with fewer than ``min_obs`` predecessors
     or zero window variance are never flagged (a constant window gives no
-    scale to judge against).
+    scale to judge against). Precondition: (key, ts) is unique — a
+    trailing ROWS frame is ill-defined under duplicate timestamps (tie
+    order is arbitrary in any engine).
 
-    ``threshold`` must be an integer so the predicate stays in int64; the
-    common 2σ/3σ/4σ monitors all are. Overflow bound: with d-digit
-    quantized values, dev² ~ 10^(2d)·lookback² and the RHS
-    ~ threshold²·lookback²·10^(2d) — safe in int64 for d ≤ 7 at
-    lookback ≤ 100.
+    ``threshold`` must be an integer so the predicate stays exact; the
+    common 2σ/3σ/4σ monitors all are. Exactness bound: the linear terms
+    (s1, dev) stay in int64 (safe for |v| up to ~9e16/lookback), while
+    every SQUARED term (s2, nvar, the flag predicate) runs in
+    DECIMAL(38,0) — the squared terms scale as lookback³·v², which
+    already exceeds int64 at |v| ≈ 1e9 (a 10 MB text_length at
+    scale=100), but stays exact in decimal to |v| ≈ 1e17 at
+    lookback ≤ 100. The DuckDB oracle mirrors this with HUGEINT.
     """
     if threshold != int(threshold):
         raise ValueError("threshold must be an integer (stays in int64)")
@@ -72,11 +81,14 @@ def rolling_zscore_anomalies(
         .orderBy(ts)
         .rowsBetween(-lookback, -1)
     )
+    dec = "decimal(38,0)"
     v = quantize_fixed(F.col(value_col), scale)
     q = df.select(key, ts, value_col, v.alias("_v"))
     n = F.count("_v").over(fr)
     s1 = F.sum("_v").over(fr)
-    s2 = F.sum(F.col("_v") * F.col("_v")).over(fr)
+    # squared terms in decimal: v*v overflows int64 at |v| ~ 3e9
+    vd = F.col("_v").cast(dec)
+    s2 = F.sum(vd * vd).over(fr)
     w = q.select(
         key,
         ts,
@@ -87,7 +99,11 @@ def rolling_zscore_anomalies(
         s2.alias("_s2"),
     )
     dev = F.col("_v") * F.col("_n") - F.col("_s1")
-    nvar = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    devd = dev.cast(dec)
+    nvar = (
+        F.col("_n").cast(dec) * F.col("_s2")
+        - F.col("_s1").cast(dec) * F.col("_s1").cast(dec)
+    )
     t2 = int(threshold) * int(threshold)
     # z = dev / sqrt(n * nvar / (n-1)): fixed op sequence over exact ints
     z = dev.cast("double") / F.sqrt(
@@ -98,8 +114,11 @@ def rolling_zscore_anomalies(
     return (
         w.where(
             (F.col("_n") >= F.lit(min_obs))
-            & (nvar > F.lit(0))
-            & (dev * dev * (F.col("_n") - F.lit(1)) > F.lit(t2) * F.col("_n") * nvar)
+            & (nvar > F.lit(0).cast(dec))
+            & (
+                devd * devd * (F.col("_n") - F.lit(1)).cast(dec)
+                > F.lit(t2).cast(dec) * F.col("_n").cast(dec) * nvar
+            )
         )
         .select(
             key,

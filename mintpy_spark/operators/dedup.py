@@ -68,8 +68,11 @@ def perm_coeffs(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
 
 def token_hash(tok: Column) -> Column:
     """60-bit integer from the md5 hex digest — identical in Spark
-    (conv(substring(md5), 16, 10)) and DuckDB (('0x' || substring)::BIGINT)."""
-    return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
+    (conv(substring(md5), 16, 10)) and DuckDB (('0x' || substring)::BIGINT).
+    Delegates to the single recipe in functions/scalars.portable_hash60."""
+    from mintpy_spark.functions.scalars import portable_hash60
+
+    return portable_hash60(tok)
 
 
 def tokens(text_col: str) -> Column:

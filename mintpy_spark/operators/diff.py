@@ -227,8 +227,19 @@ def seq_closure_ml(
            not conn-1 shift joins.
 
     Returns (grp, d, cp)."""
+    from pyspark.sql import types as T
+
     from mintpy_spark.functions.scalars import wrap
 
+    if not isinstance(obs.schema[key].dataType, T.NumericType):
+        # floor(string/int) casts to NULL and silently collapses every
+        # key into one giant NULL look group — refuse instead; hash
+        # string keys into a numeric bucket first if look groups by
+        # domain are wanted
+        raise TypeError(
+            f"seq_closure_ml needs a NUMERIC key for look grouping; "
+            f"{key!r} is {obs.schema[key].dataType.simpleString()}"
+        )
     grp = F.floor(F.col(key) / F.lit(looks))
     e = (
         obs.select(key, grp.alias("grp"), F.date_trunc("day", ts).alias("d"),

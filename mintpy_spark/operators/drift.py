@@ -60,10 +60,16 @@ def shingle_drift(
     )
     inter = F.size(F.array_intersect(F.col("sh"), F.col("prev")))
     union = F.size(F.array_distinct(F.concat(F.col("sh"), F.col("prev"))))
+    # zero-union guard (both docs shorter than n words): jaccard is
+    # undefined -> NULL in BOTH engines (bare x/0 is NULL in Spark
+    # non-ANSI but inf in DuckDB — a cross-engine parity break)
+    jac = F.when(
+        union > 0, F.round(inter.cast("double") / union, 4)
+    )
     return with_prev.select(
         key,
         order_col,
         inter.alias("inter"),
         union.alias("union_sz"),
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        jac.alias("jaccard"),
     )

@@ -113,7 +113,10 @@ def compact_raw(
       compaction) is what makes the gate exact across REPEATED
       compactions and late arrivals into already-compacted buckets: an
       unfolded raw row makes ``ledger + raw > tier`` and the compaction
-      refuses — fold first, compact after.
+      refuses — fold first, compact after;
+    * rows with a NULL timestamp belong to no bucket and can never be
+      covered by a tier — they are kept unconditionally (a bare
+      ``ts >= cut`` filter would silently drop them unledgered).
 
     Rewrite protocol (parquet-over-filesystem stand-in for an Iceberg
     ``DELETE WHERE``): kept rows are written to ``<raw>.__compact_tmp``,
@@ -189,7 +192,11 @@ def compact_raw(
         drop_counts.agg(F.sum("raw_cnt").alias("c")).first()["c"] or 0
     )
 
-    kept = raw.where(F.col(ts) >= cut)
+    # NULL-ts rows are outside every bucket: `ts >= cut` would silently
+    # drop them (NULL is neither >= nor < cut, so they'd vanish from the
+    # rewrite AND from drop_counts/ledger — unaccounted loss). Keep them
+    # unconditionally; compaction only ever removes rows it has ledgered.
+    kept = raw.where(F.col(ts).isNull() | (F.col(ts) >= cut))
     kept_cnt = kept.count()
     # pin the ledger delta BEFORE the swap — it is computed from the old
     # raw directory, which is about to disappear

@@ -456,6 +456,11 @@ def route_range_agg(
     temporal_average (stack.py:451-456) — but answered from the
     continuous-aggregate tiers instead of the raw stack."""
     cover = plan_range_cover(t0, t1, tuple(tiers))
+    if not cover:
+        raise ValueError(
+            f"empty time range: [{t0}, {t1}) covers no interval — "
+            "'from' must be strictly before 'to'"
+        )
     parts: list[DataFrame] = []
     for tier, lo, hi in cover:
         if tier == "raw":

@@ -18,14 +18,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def stable_bucket(col: Column, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets): md5 of the stringified id,
-    first 15 hex digits as a long (always non-negative), mod buckets.
-    Cross-engine: DuckDB ('0x' || substring(md5(x), 1, 15))::BIGINT."""
-    h = F.conv(
-        F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 15), 16, 10
-    ).cast("long")
-    return F.pmod(h, F.lit(int(buckets)))
+def stable_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets): md5 of the stringified id
+    (plus an optional salt suffix ``:<salt>``), first 15 hex digits as a
+    long (always non-negative), mod buckets. Distinct salts give
+    INDEPENDENT bucket assignments for the same id — required whenever
+    two decisions (e.g. split membership and sample membership) must not
+    correlate. Cross-engine: DuckDB
+    ('0x' || substring(md5(x [|| ':salt']), 1, 15))::BIGINT."""
+    from mintpy_spark.functions.scalars import portable_hash60
+
+    s = col.cast("string")
+    if salt:
+        s = F.concat(s, F.lit(":" + salt))
+    return F.pmod(portable_hash60(s), F.lit(int(buckets)))
 
 
 def with_split(
@@ -56,16 +62,20 @@ def stratified_sample(
     default_pct: int = 100,
     flag_col: str = "sampled",
 ) -> DataFrame:
-    """Per-stratum downsampling flag: keep a document iff its stable
-    bucket falls below its stratum's percentage (e.g. downweight English
-    to 10% while keeping low-resource languages whole — the standard
-    language-balancing pass). The rate map is a small literal CASE
-    (broadcast-free); independent of the split hash? No — the SAME bucket
-    drives both, deliberately: sampling composes with splitting without a
-    second hash column, and sub-sampling a stratum keeps the train/val/
-    test proportions within it."""
+    """Per-stratum downsampling flag: keep a document iff its SALTED
+    stable bucket falls below its stratum's percentage (e.g. downweight
+    English to 10% while keeping low-resource languages whole — the
+    standard language-balancing pass). The rate map is a small literal
+    CASE (broadcast-free).
+
+    The sampling bucket is salted (``:sample``) so it is INDEPENDENT of
+    the un-salted split bucket in :func:`with_split` — sharing one hash
+    would make a 10% sample exactly the first tenth of the train range:
+    zero val/test documents survive the sampling. With independent
+    hashes, sub-sampling a stratum preserves its train/val/test
+    proportions in expectation."""
     rates = rates_pct or {}
-    b = stable_bucket(F.col(id_col))
+    b = stable_bucket(F.col(id_col), salt="sample")
     rate: Column = F.lit(int(default_pct))
     for s, p in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == s, F.lit(int(p))).otherwise(rate)

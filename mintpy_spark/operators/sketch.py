@@ -39,10 +39,11 @@ HASH_SPACE = float(16**15)  # md5 15-hex-digit prefix, ~2^60
 def portable_hash(col: Column) -> Column:
     """Engine-portable uniform hash of a string column -> long in
     [0, 16^15). Identical to DuckDB's
-    ``('0x' || substring(md5(x), 1, 15))::BIGINT``."""
-    return F.conv(F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``. Delegates to the
+    single recipe in functions/scalars.portable_hash60."""
+    from mintpy_spark.functions.scalars import portable_hash60
+
+    return portable_hash60(col)
 
 
 def kmv_tier(

@@ -70,8 +70,10 @@ def velocity_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, doc_id,
            len(list_intersect(s, p)) AS inter,
            len(list_distinct(s || p)) AS union_sz,
-           ROUND(len(list_intersect(s, p))::DOUBLE
-                 / len(list_distinct(s || p)), 4) AS jaccard
+           CASE WHEN len(list_distinct(s || p)) > 0
+                THEN ROUND(len(list_intersect(s, p))::DOUBLE
+                           / len(list_distinct(s || p)), 4)
+                END AS jaccard
     FROM pairs WHERE p IS NOT NULL
     """,
 )

@@ -18,13 +18,16 @@ from mintpy_spark.queries import _q, load
     """
     WITH q AS (
       SELECT user_id, ts, value,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+             CASE WHEN isnan(value) THEN NULL
+                  ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS v
       FROM events
     ), w AS (
       SELECT user_id, ts, value, v,
              CAST(COUNT(v) OVER fr AS BIGINT) AS n,
              CAST(SUM(v) OVER fr AS BIGINT) AS s1,
-             CAST(SUM(v * v) OVER fr AS BIGINT) AS s2
+             -- squared terms in HUGEINT (the Spark plan uses
+             -- DECIMAL(38,0)): v*v overflows int64 at |v| ~ 3e9
+             SUM(CAST(v AS HUGEINT) * v) OVER fr AS s2
       FROM q
       WINDOW fr AS (PARTITION BY user_id ORDER BY ts
                     ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
@@ -33,12 +36,13 @@ from mintpy_spark.queries import _q, load
            v * n - s1 AS dev,
            ROUND(CAST(v * n - s1 AS DOUBLE)
                  / sqrt(CAST(n AS DOUBLE)
-                        * CAST(n * s2 - s1 * s1 AS DOUBLE)
+                        * CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                         / CAST(n - 1 AS DOUBLE)), 4) AS z
     FROM w
     WHERE n >= 8
-      AND n * s2 - s1 * s1 > 0
-      AND (v * n - s1) * (v * n - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
+      AND n * s2 - CAST(s1 AS HUGEINT) * s1 > 0
+      AND CAST(v * n - s1 AS HUGEINT) * (v * n - s1) * (n - 1)
+          > 9 * n * (n * s2 - CAST(s1 AS HUGEINT) * s1)
     """,
 )
 def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,6 +75,13 @@ def streaming_zscore_anomalies(
     positions, aggregates skip them) and the integer flag predicate are
     the same algebra, and the float z is derived from the same exact
     integers through the same IEEE op sequence.
+
+    Precondition (shared with the batch operator): (key, ts) is unique —
+    the crawl data model's one-fetch-per-instant invariant. A trailing
+    ROWS frame is ill-defined under duplicate timestamps in ANY engine
+    (tie order is arbitrary), and this operator's replay-skip
+    (``ts <= state watermark``) additionally treats an equal-ts row as a
+    redelivery and drops it.
     """
     out_schema, state_schema = _schemas(
         key, obs.schema[key].dataType, ts, obs.schema[ts].dataType, value_col

@@ -145,3 +145,45 @@ def test_exact_group_corr_drops_degenerate_groups(spark):
     out = exact_group_corr(df, F.col("x"), F.col("y"), "g", min_n=3).collect()
     assert {r.g for r in out} == {"ok"}
     assert out[0].corr == 1.0
+
+
+def test_quantize_nan_is_null_and_matches_streaming(spark):
+    """Review fix: NaN quantizes to NULL (a frame slot the aggregates
+    skip), never to 0 — matching the streaming twin's math.isnan skip."""
+    from mintpy_spark.operators.anomaly import quantize_fixed, rolling_zscore_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [50.0 + (i % 5) for i in range(30)]
+    vals[12] = float("nan")
+    vals[25] = 500.0
+    rows = [(1, t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = _events(spark, rows)
+    q = {
+        r.ts: r.v
+        for r in df.select("ts", quantize_fixed(F.col("value")).alias("v")).collect()
+    }
+    assert q[rows[12][1]] is None and q[rows[0][1]] == 5000
+
+    batch = rolling_zscore_anomalies(df, "value").collect()
+    flagged = {r.ts for r in batch}
+    assert rows[25][1] in flagged and rows[12][1] not in flagged
+    # window partials must have SKIPPED the NaN slot: the window ending
+    # just after it has n == 11 live values, not 12
+    near = [r for r in batch if r.ts == rows[25][1]][0]
+    assert near.n == 12  # NaN already rolled out of the 12-row frame by then
+
+
+def test_rolling_z_large_magnitudes_stay_exact(spark):
+    """Review fix: squared terms run in DECIMAL(38,0) — quantized values
+    ~1e9 (10 MB text lengths at scale=100) must neither overflow-error
+    (ANSI) nor wrap, and the planted spike is still the only flag."""
+    from mintpy_spark.operators.anomaly import rolling_zscore_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = 1.0e7  # quantizes to 1e9 at scale=100
+    vals = [base + (i % 7) * 10 for i in range(25)]
+    vals[20] = base * 2
+    rows = [(1, t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(vals)]
+    out = rolling_zscore_anomalies(_events(spark, rows), "value").collect()
+    assert {r.ts for r in out} == {rows[20][1]}
+    assert out[0].z > 100

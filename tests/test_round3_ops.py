@@ -332,3 +332,70 @@ def test_stratified_sample_rates(spark):
     r = {x["lang"]: x for x in out.collect()}
     assert r["sw"]["kept"] == r["sw"]["n"]          # default 100%
     assert 0.05 < r["en"]["kept"] / r["en"]["n"] < 0.15
+
+
+def test_stratified_sample_is_independent_of_split(spark):
+    """Review fix: the sampling hash is SALTED so a downsampled stratum
+    still contains val and test documents — a shared bucket would put a
+    10% sample entirely inside the train range [0, 80)."""
+    from mintpy_spark.operators.sampling import stratified_sample, with_split
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    out = (
+        stratified_sample(with_split(df), rates_pct={"en": 10})
+        .where(F.col("sampled"))
+        .groupBy("split")
+        .count()
+    )
+    by_split = {r["split"]: r["count"] for r in out.collect()}
+    assert set(by_split) == {"train", "val", "test"}
+    total = sum(by_split.values())
+    assert 0.05 < total / 3000 < 0.15
+    # proportions within the sample track 80/10/10 loosely
+    assert by_split["train"] / total > 0.6
+    assert by_split["val"] > 0 and by_split["test"] > 0
+
+
+def test_route_range_agg_rejects_empty_range(spark):
+    import pytest as _pytest
+
+    from mintpy_spark.operators.rollup import route_range_agg
+
+    obs = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1.0)],
+        "url string, warc_ts string, v double",
+    ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "v")
+    with _pytest.raises(ValueError, match="empty time range"):
+        route_range_agg(
+            obs, {}, "2024-01-03 00:00:00", "2024-01-03 00:00:00", "v"
+        )
+
+
+def test_shingle_drift_zero_union_is_null(spark):
+    """Two consecutive sub-n-word docs: jaccard undefined -> NULL (not a
+    crash, not inf) and the row is still emitted with inter/union = 0."""
+    from mintpy_spark.operators.drift import shingle_drift
+
+    df = spark.createDataFrame(
+        [("s", 1, "hi there"), ("s", 2, "ok")],
+        "source string, doc_id long, text string",
+    )
+    rows = shingle_drift(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.inter == 0 and r.union_sz == 0 and r.jaccard is None
+
+
+def test_seq_closure_ml_rejects_string_key(spark):
+    import pytest as _pytest
+
+    from mintpy_spark.operators.diff import seq_closure_ml
+
+    obs = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1.0)],
+        "url string, warc_ts string, value double",
+    ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "value")
+    with _pytest.raises(TypeError, match="NUMERIC key"):
+        seq_closure_ml(obs, "value")

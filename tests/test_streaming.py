@@ -477,3 +477,30 @@ def test_dedup_index_stream_equals_batch(spark, tmp_path):
     assert m.apply_batch(b2, 1) is None
     assert m.emitted_pairs(spark).count() == total
     assert m.committed_batches(spark) == [0, 1, 2]
+
+
+def test_compact_raw_keeps_null_ts_rows(spark, paths):
+    """Review fix: a NULL-timestamp row belongs to no bucket and can never
+    be tier-covered — compaction must keep it (a bare ts >= cut filter
+    would silently drop it, unledgered)."""
+    from mintpy_spark.operators.retention import compact_raw
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    inp, store_root, _ = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    rows = [
+        ("u0", dt.datetime(2023, 1, d, h, 30), 10 + d + h)
+        for d in range(1, 5)
+        for h in (3, 9)
+    ]
+    spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(inp)
+    spark.createDataFrame([("bad", None, 99)], sch).write.mode("append").parquet(inp)
+
+    m = TierMaintainer(store_root)
+    # fold only the timestamped rows (NULL ts has no bucket to fold into)
+    m.apply_delta(spark.read.parquet(inp).where(F.col("warc_ts").isNotNull()), 0)
+    res = compact_raw(spark, inp, "2023-01-03 00:00:00", m, tier="1h")
+    left = spark.read.parquet(inp)
+    assert res["dropped"] == 2 * 2
+    assert left.where(F.col("warc_ts").isNull()).count() == 1  # survived
+    assert left.count() == 2 * 2 + 1
