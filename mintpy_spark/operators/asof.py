@@ -47,21 +47,31 @@ def asof_join(
     right side has several rows at one (key, ts), the window keeps the
     nearest in scan order within that timestamp — deduplicate upstream if
     that ambiguity matters (the oracle data is unique per (key, ts)).
+
+    The whole right payload travels as ONE struct through a single
+    ignorenulls window — per-column windows would each skip their own
+    NULLs and stitch values and ``asof_ts`` from DIFFERENT right rows
+    (e.g. value from an old row with the timestamp of a newer NULL-valued
+    row — also breaking the staleness check in asof_join_tolerance).
+    A right row with NULL values IS the as-of match and yields NULL
+    payload, exactly like DuckDB's ASOF JOIN; right rows with a NULL
+    timestamp can never satisfy the as-of predicate and are dropped.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
 
+    rstruct = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    stype = right.select(rstruct.alias("_r")).schema["_r"].dataType
     probes = left.select(
         key, ts, F.lit(1).alias("_is_probe"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(stype).alias("_r"),
     )
-    obs = right.select(
-        key, ts, F.lit(0).alias("_is_probe"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(ts).alias("_r_ts"),
+    obs = right.where(F.col(ts).isNotNull()).select(
+        key, ts, F.lit(0).alias("_is_probe"), rstruct.alias("_r"),
     )
     if direction == "backward":
         w = (
@@ -78,12 +88,12 @@ def asof_join(
         )
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = obs.unionByName(probes).select(
-        key, ts, "_is_probe",
-        *[pick(f"_r_{c}").alias(f"_f_{c}") for c in value_cols],
-        pick("_r_ts").alias("_f_ts"),
+        key, ts, "_is_probe", pick("_r").alias("_f")
     )
-    out_cols = [key, ts] + [F.col(f"_f_{c}").alias(c) for c in value_cols]
-    out_cols.append(F.col("_f_ts").alias(right_ts_alias))
+    out_cols = [key, ts] + [
+        F.col(f"_f.{c}").alias(c) for c in value_cols
+    ]
+    out_cols.append(F.col("_f.__rts").alias(right_ts_alias))
     return filled.where(F.col("_is_probe") == 1).select(*out_cols)
 
 

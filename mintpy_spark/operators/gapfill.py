@@ -10,8 +10,9 @@ the step-function variant (last observation carried forward).
 
 Plan shape (all JVM-side, no Python):
 
-  1. bucket each observation to the grid resolution; keep the latest obs
-     per (key, bucket) via ``max_by`` (dedup-in-bucket policy),
+  1. bucket each VALUE-BEARING observation to the grid resolution; keep
+     the latest obs per (key, bucket) via a deterministic struct max
+     (dedup-in-bucket policy; NULL values are no-data and excluded),
   2. per key, generate the dense grid with ``sequence() + explode`` between
      the key's first and last bucket (partition-pruned, no cross join),
   3. left join grid <- bucketed obs on (key, bucket)  [single shuffle],
@@ -38,14 +39,29 @@ from mintpy_spark.functions.timefn import TIER_SECONDS, bucket_start
 def bucketize(
     obs: DataFrame, value_col: str, tier: str, key: str = "url", ts: str = "warc_ts"
 ) -> DataFrame:
-    """Latest observation per (key, bucket): (key, bucket_start, obs_ts, value)."""
+    """Latest VALUE-BEARING observation per (key, bucket):
+    (key, bucket_start, obs_ts, value).
+
+    NULL-valued observations are no-data (the mask.py sentinel contract)
+    and are excluded up front — otherwise a null-valued obs would set the
+    bucket's obs_ts while contributing no value, and the gap-fill windows
+    downstream would stitch prev/next timestamps and values from
+    DIFFERENT rows (linear mode then divides by a zero time span).
+    The in-bucket dedup is a struct max over (obs_ts, value): argmax by
+    ts with the value as a deterministic tie-break — a bare
+    max_by(value, ts) is tie-ambiguous across partitionings/engines
+    (same trap rollup_openclose documents)."""
     b = bucket_start(F.col(ts), tier).alias("bucket_start")
     return (
         obs.select(key, b, F.col(ts).alias("obs_ts"), F.col(value_col).alias("value"))
+        .where(F.col("value").isNotNull())
         .groupBy(key, "bucket_start")
-        .agg(
-            F.max("obs_ts").alias("obs_ts"),
-            F.max_by("value", "obs_ts").alias("value"),
+        .agg(F.max(F.struct("obs_ts", "value")).alias("_m"))
+        .select(
+            key,
+            "bucket_start",
+            F.col("_m.obs_ts").alias("obs_ts"),
+            F.col("_m.value").alias("value"),
         )
     )
 

@@ -107,16 +107,23 @@ def build_tiers(
     tiers: tuple[str, ...] = ("1h", "1d", "30d"),
     key: str = "url",
     ts: str = "warc_ts",
+    with_sq: bool = False,
 ) -> dict[str, DataFrame]:
     """Full cascade: finest tier from raw obs, each coarser tier from the
-    previous tier's partials. ``tiers`` must be fine -> coarse."""
+    previous tier's partials. ``tiers`` must be fine -> coarse.
+    ``with_sq`` makes every tier variance-capable (vsumsq partial; it
+    flows through cascade automatically)."""
     widths = [TIER_SECONDS[t] for t in tiers]
     if widths != sorted(widths):
         raise ValueError("tiers must be ordered fine -> coarse")
     out: dict[str, DataFrame] = {}
     prev: DataFrame | None = None
     for t in tiers:
-        prev = rollup_from_obs(obs, value_col, t, key=key, ts=ts) if prev is None else cascade(prev, t, key=key)
+        prev = (
+            rollup_from_obs(obs, value_col, t, key=key, ts=ts, with_sq=with_sq)
+            if prev is None
+            else cascade(prev, t, key=key)
+        )
         out[t] = prev
     return out
 
@@ -128,6 +135,7 @@ def merge_tier_delta(
     tier: str = "1h",
     key: str = "url",
     ts: str = "warc_ts",
+    delta_partials: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-aggregate refresh: fold LATE/NEW observations into a
     stored tier WITHOUT re-reading raw history.
@@ -144,9 +152,19 @@ def merge_tier_delta(
 
     Exactness: cnt/min/max exact; vsum regroups the float addition tree —
     within 1 ulp of a full recompute (same bound as cascade()).
+
+    ``delta_partials``: the already-aggregated delta tier frame (same
+    tier, same partial set as ``stored``) when the caller has one — e.g.
+    refresh_tiers_incremental reuses its ``touched`` frame so the delta
+    is scanned and shuffled ONCE per maintenance fold, not twice.
     """
     with_sq = "vsumsq" in stored.columns
-    d = rollup_from_obs(delta_obs, value_col, tier, key=key, ts=ts, with_sq=with_sq)
+    if delta_partials is not None:
+        d = delta_partials
+    else:
+        d = rollup_from_obs(
+            delta_obs, value_col, tier, key=key, ts=ts, with_sq=with_sq
+        )
     pcols = _partial_cols(stored)
     s = stored.select(key, "bucket_start", *[F.col(c).alias(f"_s_{c}") for c in pcols])
     dd = d.select(key, "bucket_start", *[F.col(c).alias(f"_d_{c}") for c in pcols])
@@ -212,11 +230,26 @@ def pick_tier(
     return best
 
 
-def rollup_to_width(tier_df: DataFrame, spec: str, key: str = "url") -> DataFrame:
+def rollup_to_width(
+    tier_df: DataFrame, spec: str, key: str = "url", src_tier: str | None = None
+) -> DataFrame:
     """Re-aggregate tier partials into arbitrary epoch-anchored buckets of
     ``spec`` width (the generalization of cascade() beyond the named
-    tiers)."""
+    tiers).
+
+    Pass ``src_tier`` (the tier the frame was read from) whenever it is
+    known: a source width that does not divide ``spec`` silently assigns
+    each partial wholly to the target bucket containing its bucket_start
+    — wrong aggregates, no error — so the divisibility invariant
+    pick_tier() relies on is enforced here when the caller can name it.
+    """
     width = parse_width(spec)
+    if src_tier is not None and width % TIER_SECONDS[src_tier] != 0:
+        raise ValueError(
+            f"{src_tier} buckets ({TIER_SECONDS[src_tier]} s) do not divide "
+            f"{spec} ({width} s) — partials would straddle target buckets; "
+            "re-aggregate from a finer tier (pick_tier)"
+        )
     b = F.col("bucket_start").cast("timestamp")
     anchored = F.timestamp_seconds(
         (b.cast("long") - F.pmod(b.cast("long"), F.lit(width)))
@@ -272,10 +305,18 @@ def refresh_tiers_incremental(
     delta plus the touched cells; raw history is never re-read and
     untouched tier cells are never recomputed."""
     finest = tiers[0]
-    touched = rollup_from_obs(delta_obs, value_col, finest, key=key, ts=ts)
+    # ONE aggregation of the delta serves both roles: the dirty-set
+    # driver for the cascade refreshes AND the partial frame the finest
+    # merge folds in (merge_tier_delta would otherwise re-aggregate the
+    # identical scan+shuffle on every maintenance fold)
+    with_sq = "vsumsq" in stored[finest].columns
+    touched = rollup_from_obs(
+        delta_obs, value_col, finest, key=key, ts=ts, with_sq=with_sq
+    )
     out: dict[str, DataFrame] = {}
     out[finest] = merge_tier_delta(
-        stored[finest], delta_obs, value_col, finest, key=key, ts=ts
+        stored[finest], delta_obs, value_col, finest, key=key, ts=ts,
+        delta_partials=touched,
     )
     prev = out[finest]
     for t in tiers[1:]:
@@ -511,8 +552,6 @@ def rollup_openclose(
     ``delta = close - open`` is the Prometheus/TimescaleDB counter
     "increase" per bucket (no reset handling — web crawl metrics are
     gauges)."""
-    from mintpy_spark.functions.timefn import bucket_start
-
     v = F.col(value_col).cast("double")
     o = F.min(F.struct(F.col(ts).alias("t"), v.alias("v"))).alias("_o")
     c = F.max(F.struct(F.col(ts).alias("t"), v.alias("v"))).alias("_c")
@@ -535,8 +574,6 @@ def cascade_openclose(tier_df: DataFrame, to_tier: str, key: str = "url") -> Dat
     """Merge open/close partials into a coarser tier: the struct-min/max
     over (t, v) re-applies associatively, so coarser open/close tiers come
     from the finer tier, never from raw."""
-    from mintpy_spark.functions.timefn import bucket_start
-
     return (
         tier_df.select(
             key,

@@ -42,6 +42,17 @@ SCHEMA = pa.schema(
 
 class CheckpointTable:
     def __init__(self, root: str):
+        # driver-local pyarrow implementation: refuse remote URIs loudly —
+        # os.makedirs('s3a://...') would create a literal local directory
+        # named 's3a:' and silently strand every lineage row on the
+        # driver's disk. The cluster deployment swaps this class for an
+        # Iceberg table at this exact seam (see module docstring).
+        if "://" in root:
+            raise NotImplementedError(
+                f"CheckpointTable is the local-filesystem stand-in; got "
+                f"remote root {root!r} — use the Iceberg-backed lineage "
+                "table for cluster deployments (module docstring)"
+            )
         self.root = root
         os.makedirs(root, exist_ok=True)
 

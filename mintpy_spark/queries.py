@@ -279,12 +279,15 @@ def ref_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GAPFILL_BASE = """
-    WITH b AS (
+    WITH b0 AS (
+      -- value-bearing obs only; struct max = argmax-by-ts with the value
+      -- as deterministic tie-break (mirrors operators/gapfill.bucketize)
       SELECT user_id,
              CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-             max(ts)            AS obs_ts,
-             arg_max(value, ts) AS value
-      FROM events GROUP BY 1, 2
+             max({'t': ts, 'v': value}) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, bucket_start, m.t AS obs_ts, m.v AS value FROM b0
     ), g AS (
       SELECT user_id,
              unnest(generate_series(min(bucket_start), max(bucket_start),
@@ -549,7 +552,7 @@ def rollup_6h_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     tiers = build_tiers(ev, "value", key="user_id", ts="ts")
     src = pick_tier("6h")
-    out = rollup_to_width(tiers[src], "6h", key="user_id")
+    out = rollup_to_width(tiers[src], "6h", key="user_id", src_tier=src)
     return out.select(
         "user_id", "bucket_start", "cnt",
         F.round("vsum", 2).alias("vsum"), "vmin", "vmax",

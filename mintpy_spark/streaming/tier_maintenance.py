@@ -81,7 +81,10 @@ class TierMaintainer:
         best = None
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.startswith("v"):
+            # isdigit guard (same as _gc): a stray non-numeric v* entry
+            # (object-store rename artifact, hand-placed v6.bak) must not
+            # crash every read/fold with ValueError
+            if name.startswith("v") and name[1:].isdigit():
                 v = int(name[1:])
                 best = v if best is None or v > best else best
         return best
@@ -98,7 +101,7 @@ class TierMaintainer:
         retained = []
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.startswith("v"):
+            if name.startswith("v") and name[1:].isdigit():
                 v = int(name[1:])
                 _fs2, vp = self._fs(spark, f"{self.root}/v{v:012d}")
                 if fs.exists(vp):
@@ -141,8 +144,12 @@ class TierMaintainer:
         )
 
         stored = self.read_tier(spark, tier)
+        # the tail must carry the SAME partial set as the stored tier:
+        # a variance-capable store (vsumsq) unioned with a tail built
+        # without it would fail unionByName on the missing column
         tail = rollup_from_obs(
-            tail_obs, self.value_col, tier, key=self.key, ts=self.ts
+            tail_obs, self.value_col, tier, key=self.key, ts=self.ts,
+            with_sq=("vsumsq" in stored.columns),
         )
         cols = [self.key, "bucket_start", *_partial_cols(stored)]
         return _merge_partials(
@@ -172,12 +179,16 @@ class TierMaintainer:
             _fs2, p = self._fs(spark, f"{self.root}/v{v:012d}")
             fs.delete(p, True)
 
-    def apply_delta(self, delta_obs: DataFrame, batch_id: int = 0) -> None:
+    def apply_delta(
+        self, delta_obs: DataFrame, batch_id: int = 0, with_sq: bool = False
+    ) -> None:
         """One idempotent maintenance step: merge the delta into a NEW
         tier version computed from the last COMMITTED version, then commit
         atomically. Replays of an already-committed batch are skipped;
         replays of a crashed batch recompute from the still-authoritative
-        previous version (see module docstring)."""
+        previous version (see module docstring). ``with_sq`` makes the
+        INITIAL build variance-capable (vsumsq); later folds inherit the
+        stored partial set automatically."""
         spark = delta_obs.sparkSession
         committed = self.committed_version(spark)
         if committed is not None and committed >= batch_id:
@@ -187,7 +198,7 @@ class TierMaintainer:
         if committed is None:
             new = build_tiers(
                 delta_obs, self.value_col, tiers=self.tiers,
-                key=self.key, ts=self.ts,
+                key=self.key, ts=self.ts, with_sq=with_sq,
             )
         else:
             stored = {

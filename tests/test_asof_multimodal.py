@@ -284,3 +284,54 @@ def test_png_flows_through_decode_media_and_features(spark):
     feats = {r.id: r.features for r in
              extract_features(df, decode_stub=False).collect()}
     assert feats[1] == feats[2]  # same pixels -> identical histogram
+
+
+def test_asof_null_valued_right_row_is_the_match(spark):
+    """Review fix: the right payload travels as ONE struct — a newer
+    NULL-valued right row IS the as-of match (NULL value, its own
+    asof_ts), exactly like DuckDB ASOF JOIN; per-column ignorenulls
+    windows stitched value and asof_ts from DIFFERENT rows."""
+    right = spark.createDataFrame(
+        [("k", _ts("2023-01-01 00:00:00"), 5.0),
+         ("k", _ts("2023-01-01 02:00:00"), None)],
+        "k string, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [("k", _ts("2023-01-01 03:00:00"))], "k string, ts timestamp"
+    )
+    r = asof_join(left, right, "k", "ts").collect()[0]
+    assert r.v is None
+    assert r.asof_ts == _ts("2023-01-01 02:00:00")
+
+
+def test_asof_null_ts_right_rows_never_match(spark):
+    """A right row with NULL ts cannot satisfy ts_r <= ts — it must not
+    leak its payload into any probe."""
+    right = spark.createDataFrame(
+        [("k", None, 99.0)], "k string, ts timestamp, v double"
+    )
+    left = spark.createDataFrame(
+        [("k", _ts("2023-01-01 03:00:00"))], "k string, ts timestamp"
+    )
+    r = asof_join(left, right, "k", "ts").collect()[0]
+    assert r.v is None and r.asof_ts is None
+
+
+def test_asof_tolerance_staleness_uses_the_matched_row(spark):
+    """With the struct fix, the staleness gap is judged against the row
+    the value actually came from."""
+    from mintpy_spark.operators.asof import asof_join_tolerance
+
+    right = spark.createDataFrame(
+        [("k", _ts("2023-01-01 00:00:00"), 5.0),
+         ("k", _ts("2023-01-01 02:00:00"), None)],
+        "k string, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [("k", _ts("2023-01-01 02:30:00"))], "k string, ts timestamp"
+    )
+    # tolerance 1h: the as-of row (02:00, NULL) is fresh -> kept, value NULL;
+    # the stale 00:00 value must NOT surface as a fresh match
+    r = asof_join_tolerance(left, right, "k", "ts", 3600).collect()[0]
+    assert r.v is None
+    assert r.asof_ts == _ts("2023-01-01 02:00:00")

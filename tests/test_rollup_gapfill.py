@@ -324,3 +324,62 @@ def test_histogram_quantile_within_bin_width(spark, obs):
     j = qa.join(exact, ["url", "bucket_start"])
     bad = j.where(F.abs(F.col("q_approx") - F.col("p50")) > width).count()
     assert j.count() > 0 and bad == 0
+
+
+def test_gapfill_null_valued_obs_are_no_data(spark):
+    """Review fix (live-reproduced DIVIDE_BY_ZERO): a NULL-valued
+    observation must not set a bucket's obs_ts — linear interpolation
+    spans the surrounding REAL observations instead of crashing."""
+    import datetime as dt
+
+    rows = [
+        ("k", dt.datetime(2023, 1, 1, 0, 30), 10.0),
+        ("k", dt.datetime(2023, 1, 2, 1, 30), None),
+        ("k", dt.datetime(2023, 1, 4, 3, 30), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    for mode in ("linear", "nearest", "last_obs"):
+        out = {
+            r.bucket_start: r.value
+            for r in gapfill(df, "v", tier="1d", mode=mode).collect()
+        }
+        assert len(out) == 4  # days 1..4
+        assert out[dt.datetime(2023, 1, 1)] == 10.0
+        assert out[dt.datetime(2023, 1, 4)] == 40.0
+    # linear: interpolation between the two REAL obs at their actual ts
+    lin = {
+        r.bucket_start: r.value
+        for r in gapfill(df, "v", tier="1d", mode="linear").collect()
+    }
+    t0 = dt.datetime(2023, 1, 1, 0, 30).timestamp()
+    t1 = dt.datetime(2023, 1, 4, 3, 30).timestamp()
+    for day in (2, 3):
+        tb = dt.datetime(2023, 1, day).timestamp()
+        expect = 10.0 + 30.0 * (tb - t0) / (t1 - t0)
+        assert abs(lin[dt.datetime(2023, 1, day)] - expect) < 1e-9
+
+
+def test_gapfill_bucket_tie_is_deterministic(spark):
+    """Two obs at the identical (key, bucket, ts): the struct max keeps
+    the larger value on ts ties — stable across partitionings."""
+    import datetime as dt
+
+    from mintpy_spark.operators.gapfill import bucketize
+
+    t = dt.datetime(2023, 1, 1, 5, 0)
+    df = spark.createDataFrame(
+        [("k", t, 3.0), ("k", t, 9.0)],
+        "url string, warc_ts timestamp, v double",
+    )
+    r = bucketize(df, "v", "1d").collect()[0]
+    assert r.value == 9.0 and r.obs_ts == t
+
+
+def test_rollup_to_width_rejects_non_dividing_source(spark, obs):
+    import pytest
+
+    from mintpy_spark.operators.rollup import rollup_to_width
+
+    tiers = build_tiers(obs, "text_length")
+    with pytest.raises(ValueError, match="do not divide"):
+        rollup_to_width(tiers["1d"], "36h", src_tier="1d")

@@ -504,3 +504,54 @@ def test_compact_raw_keeps_null_ts_rows(spark, paths):
     assert res["dropped"] == 2 * 2
     assert left.where(F.col("warc_ts").isNull()).count() == 1  # survived
     assert left.count() == 2 * 2 + 1
+
+
+def test_committed_version_ignores_stray_commit_entries(spark, paths):
+    """Review fix: a non-numeric v* file in _commits (rename artifact,
+    v6.bak) must not crash every read/fold."""
+    import os
+
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    inp, store_root, _ = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    spark.createDataFrame(
+        [("u", dt.datetime(2023, 1, 1, 1, 30), 10)], sch
+    ).write.mode("overwrite").parquet(inp)
+    m = TierMaintainer(store_root)
+    m.apply_delta(spark.read.parquet(inp), batch_id=0)
+    open(os.path.join(store_root, "_commits", "v6.bak"), "w").write("")
+    assert m.committed_version(spark) == 0
+    assert m.versions(spark) == [0]
+    assert m.read_tier(spark, "1h").count() == 1
+
+
+def test_read_realtime_on_variance_capable_store(spark, paths):
+    """Review fix: the realtime tail must carry vsumsq when the stored
+    tier does (union previously failed on the missing column)."""
+    from mintpy_spark.operators.rollup import rollup_from_obs
+    from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+    inp, store_root, _ = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+    base = [("u", dt.datetime(2023, 1, 1, 1, 10), 10),
+            ("u", dt.datetime(2023, 1, 1, 1, 40), 30)]
+    spark.createDataFrame(base, sch).write.mode("overwrite").parquet(inp)
+    m = TierMaintainer(store_root)
+    m.apply_delta(spark.read.parquet(inp), batch_id=0, with_sq=True)
+
+    tail = spark.createDataFrame(
+        [("u", dt.datetime(2023, 1, 1, 1, 50), 50)], sch
+    )
+    rt = m.read_realtime(spark, "1h", tail).collect()[0]
+    assert rt.cnt == 3 and rt.vsum == 90.0
+    assert rt.vsumsq == 100.0 + 900.0 + 2500.0
+
+
+def test_checkpoint_table_refuses_remote_roots():
+    import pytest
+
+    from mintpy_spark.plans.checkpoint import CheckpointTable
+
+    with pytest.raises(NotImplementedError, match="remote root"):
+        CheckpointTable("s3a://bucket/tiers/_maintenance_metrics")
