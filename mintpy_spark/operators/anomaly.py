@@ -35,12 +35,14 @@ from pyspark.sql import functions as F
 def quantize_fixed(col: Column, scale: float = 100.0) -> Column:
     """Engine-portable fixed-point quantization of a FLOAT column:
     floor(x*scale + 0.5) (identical doubles -> identical ints in
-    Spark/DuckDB/NumPy; ROUND diverges at half-points). NaN quantizes to
-    NULL — never to 0 (cast(NaN as long) is 0 non-ANSI / an error under
-    ANSI; either way a NaN observation must not enter a window as a
-    legitimate zero), matching the streaming twin's math.isnan skip."""
+    Spark/DuckDB/NumPy; ROUND diverges at half-points). Non-finite values
+    (NaN, ±Inf) quantize to NULL — never to 0 or Long.MAX (cast(NaN as
+    long) is 0 non-ANSI / an error under ANSI; floor(Inf) cast saturates
+    to Long.MAX and would poison every window it enters), matching the
+    streaming twin's math.isfinite skip."""
     q = F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
-    return F.when(F.isnan(col), F.lit(None).cast("long")).otherwise(q)
+    finite = ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+    return F.when(finite, q).otherwise(F.lit(None).cast("long"))
 
 
 def rolling_zscore_anomalies(
@@ -154,8 +156,10 @@ def exact_group_corr(
 
     One hash aggregation (map-side partials), zero Python, decomposable —
     the partials merge across partitions/increments exactly like the tier
-    partials in operators/rollup.py. Groups with < ``min_n`` rows or zero
-    variance in either metric are dropped (corr undefined).
+    partials in operators/rollup.py. Rows where EITHER metric is NULL are
+    excluded up front (n and every partial must cover the same row set or
+    the estimator is inconsistent); groups with < ``min_n`` surviving rows
+    or zero variance in either metric are dropped (corr undefined).
 
     Overflow bound (int64 path): the cross terms peak at n²·max(|x|,|y|)²,
     so groups are safe up to n ≈ 3e9 / max_metric (≈5.5M rows per group at
@@ -164,6 +168,7 @@ def exact_group_corr(
     groups at 5-digit metrics — at the cost of decimal arithmetic in the
     (already tiny, one-row-per-group) post-aggregation projection.
     """
+    df = df.where(x.isNotNull() & y.isNotNull())
     if use_decimal:
         dec = "decimal(38,0)"
         x, y = x.cast(dec), y.cast(dec)

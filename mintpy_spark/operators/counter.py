@@ -39,8 +39,13 @@ def counter_increase(
     Per sample delta = counter - lag(counter) when monotone, else
     counter (reset: the pre-reset climb between the two samples is
     unobservable, PromQL's convention). The first sample of a key
-    contributes nothing (no baseline). Integer counters stay integers —
-    no float drift."""
+    contributes nothing (no baseline). NULL samples are dropped before
+    the lag chain (Prometheus treats a missing scrape as absent, not
+    zero): without the filter a NULL sample makes the NEXT sample's
+    delta NULL too, silently losing the real increase across the gap.
+    ``n_samples`` therefore counts non-NULL samples. Integer counters
+    stay integers — no float drift."""
+    obs = obs.where(F.col(counter_col).isNotNull())
     w = Window.partitionBy(key).orderBy(ts)
     c = F.col(counter_col)
     prev = F.lag(counter_col).over(w)

@@ -114,16 +114,67 @@ def minhash_signatures(
     return staged.select(id_col, *mins).repartition(F.col(id_col))
 
 
+def lsh_shape(num_perm: int) -> tuple[int, int]:
+    """(bands, rows) for a signature of ``num_perm`` permutations: rows =
+    the largest divisor of num_perm that is <= LSH_ROWS (prefer 4-row
+    bands, the classic s-curve knee near J=0.5), bands = num_perm/rows.
+    Always satisfies bands*rows == num_perm, so any num_perm works."""
+    rows = next(r for r in range(min(LSH_ROWS, num_perm), 0, -1)
+                if num_perm % r == 0)
+    return num_perm // rows, rows
+
+
+def sig_num_perm(sig: DataFrame) -> int:
+    """Number of permutations in a signature table = count of m{i}
+    columns. Single source of truth so band generation can never be
+    hard-wired to a default that disagrees with the signature width."""
+    import re
+
+    return sum(1 for c in sig.columns if re.fullmatch(r"m\d+", c))
+
+
 def lsh_bands(sig: DataFrame, id_col: str = "doc_id",
-              bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+              bands: int | None = None, rows: int | None = None) -> DataFrame:
     """Signature -> long-format (id, band_id, band_key). Docs sharing any
-    band key are candidates (banding amplifies Jaccard sensitivity)."""
+    band key are candidates (banding amplifies Jaccard sensitivity).
+    bands/rows default to lsh_shape() over the signature's OWN width —
+    passing a non-default num_perm to minhash_signatures just works."""
+    if bands is None or rows is None:
+        bands, rows = lsh_shape(sig_num_perm(sig))
     pairs = []
     for b in range(bands):
         cols = ", ".join(f"m{b * rows + r}" for r in range(rows))
         pairs.append(f"{b}, concat_ws('-', {cols})")
     stack_expr = f"stack({bands}, {', '.join(pairs)}) as (band_id, band_key)"
     return sig.select(id_col, F.expr(stack_expr))
+
+
+def signature_verify(
+    cand: DataFrame, sig: DataFrame, id_col: str = "doc_id",
+    num_perm: int = NUM_PERM, threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b) candidates + signature table -> (doc_a, doc_b,
+    est_jaccard >= threshold), est_jaccard = matching-permutation
+    fraction. THE one implementation of the verify estimator — the batch
+    operator (minhash_near_dups) and the streaming index maintainer
+    (streaming/dedup_stream.py) both delegate here, so their tested
+    equivalence contract cannot silently fork."""
+    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    matches = sum(
+        F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col(f"a_{id_col}"))
+        .join(sb, cand.doc_b == F.col(f"b_{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / float(num_perm)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
 
 
 def minhash_near_dups(
@@ -154,22 +205,7 @@ def minhash_near_dups(
         )
         .distinct()
     )
-    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
-    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
-    matches = sum(
-        F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
-        for i in range(num_perm)
-    )
-    return (
-        cand.join(sa, cand.doc_a == F.col(f"a_{id_col}"))
-        .join(sb, cand.doc_b == F.col(f"b_{id_col}"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (matches / float(num_perm)).alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= threshold)
-    )
+    return signature_verify(cand, sig, id_col, num_perm, threshold)
 
 
 def simhash(

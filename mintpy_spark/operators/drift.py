@@ -32,8 +32,12 @@ from pyspark.sql import functions as F
 def shingle_set(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a space-tokenized text (empty array for
     texts shorter than n words — guarded explicitly because Spark's
-    ``sequence(0, -1)`` yields a descending list, not an empty one)."""
-    words = F.split(text, " ")
+    ``sequence(0, -1)`` yields a descending list, not an empty one).
+    Empty tokens are dropped before windowing (same convention as
+    dedup.tokens()): a run of spaces is a cosmetic change, not a shingle
+    boundary, and a whitespace-only doc must yield the EMPTY set, not
+    {' '}."""
+    words = F.filter(F.split(text, " "), lambda t: t != "")
     k = F.size(words) - (n - 1)
     shingles = F.transform(
         F.sequence(F.lit(0), k - 1),

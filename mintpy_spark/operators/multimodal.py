@@ -45,7 +45,6 @@ _MAGIC: list[tuple[int, bytes, str]] = [
     (0, b"GIF87a", "image/gif"),
     (0, b"GIF89a", "image/gif"),
     (0, b"BM", "image/bmp"),
-    (0, b"RIFF", "audio/wav"),  # refined to webp below via bytes 8..12
     (0, b"\x1aE\xdf\xa3", "video/webm"),
     (4, b"ftyp", "video/mp4"),
     (0, b"ID3", "audio/mpeg"),
@@ -67,10 +66,17 @@ def sniff_media_type(payload: bytes) -> str:
     if payload is None:
         return "unknown"
     if payload[:4] == b"RIFF":
+        # the RIFF preamble alone is NOT wav: require the WAVE form tag,
+        # else RIFF/ANI, RIFF/RMID etc. would be mislabeled audio/wav and
+        # decode_wav would die on them with ValueError instead of the
+        # documented unknown-container fallthrough
         if payload[8:12] == b"WEBP":
             return "image/webp"
         if payload[8:12] == b"AVI ":
             return "video/avi"
+        if payload[8:12] == b"WAVE":
+            return "audio/wav"
+        return "application/octet-stream"
     for off, magic, mtype in _MAGIC:
         if payload[off : off + len(magic)] == magic:
             return mtype
@@ -429,9 +435,16 @@ def extract_features(
         return (v / nrm if nrm > 0 else v).tolist()
 
     def _stub_features(p: bytes) -> list[float]:
+        # one sha256 digest is 32 bytes = 16 uint16 lanes; for dim > 16
+        # extend it counter-mode (sha256(digest || i)) so every requested
+        # dimension is real — silently truncating to 16 would hand
+        # downstream zip_with dot products mismatched array lengths
         d = hashlib.sha256(p).digest()
+        while len(d) < dim * 2:
+            d += hashlib.sha256(d + len(d).to_bytes(4, "little")).digest()
         v = np.frombuffer(d[: dim * 2], dtype=np.uint16).astype(np.float32)
-        return (v / np.linalg.norm(v)).tolist()
+        nrm = float(np.linalg.norm(v))
+        return (v / nrm if nrm > 0 else v).tolist()
 
     feat_fn = _stub_features if decode_stub else _real_features
 
@@ -487,11 +500,13 @@ def attach_synth_payload(
 def frame_sample_plan(n_frames_col: str, every_k: int = 8):
     """Frame-sampling as a JVM-side expression: indexes [0, k, 2k, ...)
     bounded by n_frames (the decode of selected frames happens in the
-    decoder stage; planning which frames stays in Catalyst)."""
+    decoder stage; planning which frames stays in Catalyst). Media with
+    zero or unknown (NULL) frame count plans the EMPTY set — the
+    unguarded greatest(n-1, 0) form would schedule a phantom decode of
+    frame 0 that does not exist."""
     from pyspark.sql import functions as F
 
-    return F.sequence(
-        F.lit(0),
-        F.greatest(F.col(n_frames_col) - 1, F.lit(0)),
-        F.lit(every_k),
-    )
+    n = F.col(n_frames_col)
+    return F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_k))
+    ).otherwise(F.array().cast("array<int>"))

@@ -58,11 +58,18 @@ def kmv_tier(
     array<long> of the <=k smallest distinct item hashes, ascending)."""
     from mintpy_spark.functions.timefn import bucket_start
 
-    staged = obs.select(
-        *key_cols,
-        bucket_start(F.col(ts), tier).alias("bucket_start"),
-        portable_hash(F.col(item_col)).alias("_h"),
-    ).dropDuplicates([*key_cols, "bucket_start", "_h"])
+    staged = (
+        obs.select(
+            *key_cols,
+            bucket_start(F.col(ts), tier).alias("bucket_start"),
+            portable_hash(F.col(item_col)).alias("_h"),
+        )
+        # NULL items hash to NULL; distinct-count semantics ignore NULL,
+        # and a NULL must never occupy a rank slot (NULLS FIRST would
+        # displace the k-th smallest real hash and shrink the sketch).
+        .where(F.col("_h").isNotNull())
+        .dropDuplicates([*key_cols, "bucket_start", "_h"])
+    )
     w = Window.partitionBy(*key_cols, "bucket_start").orderBy("_h")
     return (
         staged.withColumn("_rn", F.row_number().over(w))

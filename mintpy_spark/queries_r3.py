@@ -60,7 +60,7 @@ def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     r AS (
       SELECT bucket_start, hv,
              row_number() OVER (PARTITION BY bucket_start ORDER BY hv) AS rn
@@ -116,7 +116,7 @@ def rollup_1d_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN ctr < prev THEN 1 ELSE 0 END AS rst
       FROM (SELECT user_id, ts, ctr,
                    lag(ctr) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-            FROM c))
+            FROM c WHERE ctr IS NOT NULL))
     SELECT user_id, bucket_start,
            CAST(SUM(dd) AS BIGINT)  AS increase,
            CAST(SUM(rst) AS BIGINT) AS n_resets,

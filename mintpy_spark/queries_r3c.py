@@ -60,7 +60,9 @@ def velocity_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, doc_id,
              list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                             FOR i IN range(1, len(ws) - 1)]) AS s
-      FROM (SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents)
+      FROM (SELECT source, doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ws
+            FROM documents)
     ),
     pairs AS (
       SELECT source, doc_id, s,

@@ -67,6 +67,7 @@ def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text) AS x,
              len(list_filter(string_split(text, ' '), t -> t <> '')) AS y
       FROM documents
+      WHERE text IS NOT NULL
     ), a AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n,

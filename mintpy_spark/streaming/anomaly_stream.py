@@ -108,7 +108,9 @@ def streaming_zscore_anomalies(
                 ts_us = int(pd.Timestamp(ts_).value // 1000)
                 if last_ts is not None and ts_us <= last_ts:
                     continue  # replay/out-of-order behind state
-                if raw is None or (isinstance(raw, float) and math.isnan(raw)):
+                if raw is None or (
+                    isinstance(raw, float) and not math.isfinite(raw)
+                ):
                     v = None
                 else:
                     v = int(math.floor(float(raw) * scale + 0.5))

@@ -46,6 +46,7 @@ from mintpy_spark.operators.dedup import (
     NUM_PERM,
     lsh_bands,
     minhash_signatures,
+    signature_verify,
 )
 
 
@@ -144,27 +145,9 @@ class DedupIndexMaintainer:
         all_sigs = (
             sig_new if stored is None else stored.unionByName(sig_new)
         )
-        sa = all_sigs.select(
-            *[F.col(c).alias(f"a_{c}") for c in all_sigs.columns]
-        )
-        sb = all_sigs.select(
-            *[F.col(c).alias(f"b_{c}") for c in all_sigs.columns]
-        )
-        matches = sum(
-            F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
-            for i in range(self.num_perm)
-        )
-        pairs = (
-            cand.join(sa, cand.doc_a == F.col(f"a_{self.id_col}"))
-            .join(sb, cand.doc_b == F.col(f"b_{self.id_col}"))
-            .select(
-                "doc_a",
-                "doc_b",
-                (matches / float(self.num_perm)).alias("est_jaccard"),
-            )
-            .where(F.col("est_jaccard") >= self.threshold)
-            .localCheckpoint(eager=True)
-        )
+        pairs = signature_verify(
+            cand, all_sigs, self.id_col, self.num_perm, self.threshold
+        ).localCheckpoint(eager=True)
         # shard write THEN marker: replay of a crashed batch overwrites
         sig_new.write.mode("overwrite").parquet(f"{self.root}/sig/b{batch_id}")
         pairs.write.mode("overwrite").parquet(f"{self.root}/pairs/b{batch_id}")

@@ -58,6 +58,8 @@ def test_sniff_media_type():
     assert sniff_media_type(b"ID3\x04") == "audio/mpeg"
     assert sniff_media_type(b"\xff\xd8\xff\xe0") == "image/jpeg"
     assert sniff_media_type(b"RIFF....WAVE") == "audio/wav"
+    # RIFF preamble without the WAVE form tag is NOT wav (ANI, RMID, ...)
+    assert sniff_media_type(b"RIFFxxxxACON") == "application/octet-stream"
     assert sniff_media_type(b"whatever") == "application/octet-stream"
 
 
@@ -66,7 +68,7 @@ def media_df(spark):
     rows = [
         (1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 32),
         (2, b"\xff\xd8\xff" + b"\x01" * 32),
-        (3, b"RIFF" + b"\x02" * 32),
+        (3, b"RIFF\x02\x02\x02\x02WAVE" + b"\x02" * 28),
     ]
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
