@@ -1,0 +1,75 @@
+"""Sampling-cadence profiling: inter-arrival statistics per series.
+
+A 10^12-page crawl needs to know each url's observation cadence before
+trusting any per-url statistic: gap-fill horizon choice, staleness SLAs,
+and scrape-scheduler feedback all key off "how regularly is this series
+sampled, and how bursty is it". The classic summary is the
+coefficient of variation (CV) of inter-arrival times — CV ≈ 0 for a
+metronomic crawler, CV = 1 for a Poisson process, CV > 1 for bursty
+arrivals (public queueing-theory convention).
+
+Reference analog: MintPy profiles its acquisition cadence the same way
+before network inversion — `utils/ptime.py` date-list statistics and the
+temporal-baseline histogram (`plot_network`) summarize gap regularity so
+the user can judge interpolation risk; this operator is that diagnostic
+as one windowed aggregation per series.
+
+Exact-partials discipline (operators/anomaly.py): gaps are integer epoch
+seconds; n, Σg (int64) and Σg² (DECIMAL(38,0) — a 30-day gap squared is
+~7e12, and 10^6 samples of those would overflow int64) are exact, so the
+final float sqrt/divide sequence sees identical inputs on every engine
+and partitioning.
+
+Plan shape: one lag window over (key ORDER BY ts) + one hash agg — the
+same single-Exchange shape as every per-key operator here; free when the
+input is already hash-partitioned on the key (sources/bucketed.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interarrival_stats(
+    obs: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """(key, n_gaps, mean_gap_s, cv) — sample-CV of the series'
+    inter-arrival seconds.
+
+    cv = sample_std(gaps) / mean(gaps)
+       = sqrt((n·Σg² − (Σg)²) / (n−1) / n) · n / Σg
+
+    evaluated in that exact op order on both engines. Series with fewer
+    than ``min_gaps`` gaps or zero total span (all samples at one
+    instant) are dropped — CV is undefined there. Duplicate timestamps
+    contribute 0-second gaps (legitimate burst evidence, they RAISE the
+    CV), they are not filtered."""
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(key).orderBy(ts)
+    e = F.unix_timestamp(F.col(ts))
+    g = (e - F.lag(e).over(w)).alias("_g")
+    staged = obs.select(key, g).where(F.col("_g").isNotNull())
+    gd = F.col("_g").cast(dec)
+    agg = staged.groupBy(key).agg(
+        F.count("_g").alias("n_gaps"),
+        F.sum("_g").alias("_s1"),
+        F.sum(gd * gd).alias("_s2"),
+    )
+    n = F.col("n_gaps")
+    s1, s2 = F.col("_s1"), F.col("_s2")
+    nvar = n.cast(dec) * s2 - s1.cast(dec) * s1.cast(dec)
+    cv = (
+        F.sqrt(nvar.cast("double") / (n - F.lit(1)).cast("double") / n.cast("double"))
+        * n.cast("double")
+        / s1.cast("double")
+    )
+    return agg.where((n >= F.lit(min_gaps)) & (s1 > 0)).select(
+        key,
+        "n_gaps",
+        F.round(s1.cast("double") / n.cast("double"), 4).alias("mean_gap_s"),
+        F.round(cv, 4).alias("cv"),
+    )

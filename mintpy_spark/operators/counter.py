@@ -64,3 +64,54 @@ def counter_increase(
             F.count("*").alias("n_samples"),
         )
     )
+
+
+def counter_rate(
+    obs: DataFrame,
+    counter_col: str,
+    tier: str = "1d",
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """PromQL-style ``rate()`` per tier bucket: (key, bucket_start,
+    increase, span_s, rate) where rate = increase / covered-seconds.
+
+    The covered span is the observed sample window INSIDE the bucket
+    (epoch(max ts) - epoch(min ts) over the bucket's samples), the
+    convention PromQL uses for range vectors — dividing by the nominal
+    bucket width would under-report rates for sparsely-scraped keys.
+    Buckets with < 2 samples (span 0) yield NULL rate: one sample gives
+    no span to normalize by. ``increase`` is the reset-aware sum from
+    counter_increase's delta (a delta is attributed to the bucket of its
+    LATER sample, so bucket-crossing climbs land in the bucket that
+    observed them).
+
+    Plan shape: identical to counter_increase — one lag window on the
+    series key + one hash agg; at 100 TB it rides the same hash(url)
+    partitioning, no extra shuffle. The division is the only float op,
+    over exact integer numerator/denominator, so it reproduces
+    bit-for-bit across engines and partitionings."""
+    obs = obs.where(F.col(counter_col).isNotNull())
+    w = Window.partitionBy(key).orderBy(ts)
+    c = F.col(counter_col)
+    prev = F.lag(counter_col).over(w)
+    delta = F.when(prev.isNull(), F.lit(None)).when(c >= prev, c - prev).otherwise(c)
+    epoch = F.unix_timestamp(F.col(ts))
+    agg = (
+        obs.select(
+            key,
+            bucket_start(F.col(ts), tier).alias("bucket_start"),
+            delta.alias("_d"),
+            epoch.alias("_e"),
+        )
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.sum("_d").alias("increase"),
+            (F.max("_e") - F.min("_e")).alias("span_s"),
+        )
+    )
+    rate = F.when(
+        (F.col("span_s") > 0) & F.col("increase").isNotNull(),
+        F.round(F.col("increase").cast("double") / F.col("span_s"), 6),
+    )
+    return agg.select(key, "bucket_start", "increase", "span_s", rate.alias("rate"))

@@ -1,0 +1,104 @@
+"""TF-IDF term scoring over a document corpus (inverted-index shape).
+
+The canonical "what characterizes this slice of the corpus" primitive of
+an LLM-data pipeline: term frequency per group × inverse document
+frequency across the corpus (public IR convention, Spärck Jones 1972).
+Used for topic drift audits, source fingerprinting, and building
+keep/drop keyword filters at corpus scale.
+
+No MintPy analog (text is the graft payload, not the reference's
+domain); the closest reference shape is the per-epoch aggregate keyed by
+a secondary dimension (`temporal_average` per date, stats.py) — here the
+secondary dimension is the term and the aggregate is a count.
+
+Scale shape — this is deliberately the inverted-index plan:
+
+- the token explode (~10^2 rows per doc, the one row-multiplying step)
+  runs ONCE: it is aggregated to the per-document posting list
+  (group, doc, term, tf_doc) with map-side partial combine and persisted
+  through a one-slot cache, and BOTH consumers (tf and df) are cheap
+  re-aggregations of that posting list — the two-branch form that
+  re-explodes the corpus per branch doubles the most expensive stage at
+  100 TB;
+- df joins tf on ``term`` — vocabulary-sized (≪ corpus; Heaps' law), and
+  Zipf skew on hot terms is agg-side (partials), not join-side, so no
+  salting is needed;
+- the corpus size N is a 1-row broadcast (the scalar-broadcast idiom
+  used across this repo, e.g. operators/stats.py);
+- top-k per group is one row_number window over the (group, term)
+  aggregate — tiny relative to the corpus.
+
+The float op sequence (ln(N/df), × tf) consumes exact integers, so
+scores — and therefore the top-k cut — reproduce bit-for-bit across
+engines; exact score ties break on the term string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# One-slot persisted posting-list cache, same discipline (and trade-off)
+# as operators/dedup._SIG_SLOT: repeated invocations in one session
+# release the previous invocation's table instead of pinning a new one.
+_POSTING_SLOT: list = []
+
+
+def _persist_posting(df: DataFrame) -> DataFrame:
+    while _POSTING_SLOT:
+        prev = _POSTING_SLOT.pop()
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # previous table's session already stopped
+    df = df.persist()
+    _POSTING_SLOT.append(df)
+    return df
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """(group, rank, term, tf, df, score): the ``k`` highest-TF-IDF terms
+    per group.
+
+    tf = occurrences of term in the group's concatenated text (raw
+    count, whitespace tokens, empty tokens dropped); df = number of
+    distinct documents corpus-wide containing the term; N = total
+    documents in the corpus (including empty ones — a stable
+    denominator); score = tf · ln(N / df). Terms in every document get
+    score 0 (ln 1) and fall out of the top-k naturally. Ordering:
+    score DESC, term ASC (deterministic under exact-tie)."""
+    toks = docs.select(
+        group,
+        id_col,
+        F.explode(
+            F.filter(F.split(text_col, " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    # the posting list: one row per (doc, term) — the single pass over
+    # the token explosion; tf and df are re-aggregations of it
+    posting = _persist_posting(
+        toks.groupBy(group, id_col, "term").agg(F.count("*").alias("tf_doc"))
+    )
+    tf = posting.groupBy(group, "term").agg(F.sum("tf_doc").alias("tf"))
+    # one posting row per (doc, term), ids globally unique -> row count
+    # per term IS the distinct-document frequency
+    df_ = posting.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("_n") / F.col("df")))
+    )
+    w = Window.partitionBy(group).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group, "rank", "term", "tf", "df",
+                F.round("score", 6).alias("score"))
+    )

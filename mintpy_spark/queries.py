@@ -390,6 +390,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3  # noqa: F401  (M4/KMV/counter/sliding queries)
     import mintpy_spark.queries_r3c  # noqa: F401  (Theil-Sen/drift/LTOB/SQ queries)
     import mintpy_spark.queries_r3d  # noqa: F401  (anomaly/correlation queries)
+    import mintpy_spark.queries_r3e  # noqa: F401  (rate/cadence/tfidf queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -455,11 +456,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "props_extract_stats",
 )
 # ROUND-4 NOTE: after CORRECTNESS_r03.json lands, rebuild this list as
-# (registry keys) - (r01 ∪ r02 ∪ r03 keys) — the batch-c/d queries
-# (velocity_theilsen, drift_shingle_jaccard, downsample_ltob_1d,
-# simsearch_sq_topk, temporal_filter_ewma, anomaly_rolling_z,
-# corr_len_tokens) registered after the r3 snapshot order was frozen
-# and must move to the head next round.
+# (registry keys) - (r01 ∪ r02 ∪ r03 keys). Assuming the r3 snapshot
+# records the head-50 above, exactly these 10 batch-c/d/e queries remain
+# never-driver-checked and must move to the head next round:
+# anomaly_rolling_z, cadence_interarrival_cv, corr_len_tokens,
+# counter_rate_1d, downsample_ltob_1d, drift_shingle_jaccard,
+# simsearch_sq_topk, temporal_filter_ewma, tfidf_top_terms,
+# velocity_theilsen.
 
 
 def _ordered(d: dict) -> dict:
