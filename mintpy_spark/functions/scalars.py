@@ -45,6 +45,17 @@ def portable_hash60(col: Column) -> Column:
     ).cast("long")
 
 
+def nonempty_tokens(col) -> Column:
+    """Whitespace tokens of a text column with empty tokens dropped — THE
+    one tokenizer expression (same discipline as portable_hash60): dedup
+    shingling (operators/dedup.tokens), content drift
+    (operators/drift.shingle_set) and TF-IDF (operators/tfidf.py) all
+    delegate here, so tokenization — and its paired DuckDB oracle form
+    ``list_filter(string_split(text, ' '), t -> t <> '')`` — can never
+    silently fork between operators."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
 def wrap(x: Column, lo: float = -math.pi, hi: float = math.pi) -> Column:
     """Wrap ``x`` into the half-open interval [lo, hi) — the phase-wrap
     pmod: lo + pmod(x - lo, hi - lo). pmod (not %) so negative inputs wrap

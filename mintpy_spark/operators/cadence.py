@@ -15,8 +15,10 @@ the user can judge interpolation risk; this operator is that diagnostic
 as one windowed aggregation per series.
 
 Exact-partials discipline (operators/anomaly.py): gaps are integer epoch
-seconds; n, Σg (int64) and Σg² (DECIMAL(38,0) — a 30-day gap squared is
-~7e12, and 10^6 samples of those would overflow int64) are exact, so the
+MICROseconds (sub-second bursts are real gaps, not zeros — testdata
+timestamps carry microsecond components); n, Σg (int64 — 10^6 gaps of a
+month each is ~2.6e18, inside int64) and Σg² (DECIMAL(38,0) — a 30-day
+gap squared is ~7e24 and would overflow int64 alone) are exact, so the
 final float sqrt/divide sequence sees identical inputs on every engine
 and partitioning.
 
@@ -43,14 +45,17 @@ def interarrival_stats(
     cv = sample_std(gaps) / mean(gaps)
        = sqrt((n·Σg² − (Σg)²) / (n−1) / n) · n / Σg
 
-    evaluated in that exact op order on both engines. Series with fewer
-    than ``min_gaps`` gaps or zero total span (all samples at one
-    instant) are dropped — CV is undefined there. Duplicate timestamps
-    contribute 0-second gaps (legitimate burst evidence, they RAISE the
-    CV), they are not filtered."""
+    evaluated in that exact op order on both engines (CV is
+    scale-invariant, so microsecond gaps give the same CV as second
+    gaps — just without the sub-second truncation artifacts;
+    ``mean_gap_s`` converts to seconds only at the final division).
+    Series with fewer than ``min_gaps`` gaps or zero total span (all
+    samples at one instant) are dropped — CV is undefined there.
+    Duplicate timestamps contribute 0-gap evidence (legitimate bursts,
+    they RAISE the CV), they are not filtered."""
     dec = "decimal(38,0)"
     w = Window.partitionBy(key).orderBy(ts)
-    e = F.unix_timestamp(F.col(ts))
+    e = F.unix_micros(F.col(ts).cast("timestamp"))
     g = (e - F.lag(e).over(w)).alias("_g")
     staged = obs.select(key, g).where(F.col("_g").isNotNull())
     gd = F.col("_g").cast(dec)
@@ -70,6 +75,8 @@ def interarrival_stats(
     return agg.where((n >= F.lit(min_gaps)) & (s1 > 0)).select(
         key,
         "n_gaps",
-        F.round(s1.cast("double") / n.cast("double"), 4).alias("mean_gap_s"),
+        F.round(
+            s1.cast("double") / n.cast("double") / F.lit(1000000.0), 4
+        ).alias("mean_gap_s"),
         F.round(cv, 4).alias("cv"),
     )

@@ -31,30 +31,15 @@ from pyspark.sql import functions as F
 # Cross-engine-exact hash constants (inlined into the DuckDB oracles too).
 HASH_P = 1_000_000_007
 
-# One-slot persisted-signature cache: bench/determinism tools invoke the
-# near-dup operators many times in one session; an unbounded persist per
-# invocation would pin a cached table each time. Persisting through this
-# slot releases the previous invocation's table first, capping session
-# cache growth at one signature table. Known trade-off: a DataFrame built
-# by an EARLIER near-dup call and executed only after a LATER call loses
-# its cached signatures and recomputes them — correct, just slower; build
-# and materialize each near-dup result before starting the next.
+# One-slot persisted-signature cache (see plans/cache.py for the
+# discipline and its trade-off).
 _SIG_SLOT: list = []
 
 
 def _persist_one(df: DataFrame) -> DataFrame:
-    while _SIG_SLOT:
-        prev = _SIG_SLOT.pop()
-        try:
-            prev.unpersist()
-        except Exception:
-            # the previous table belonged to a SparkSession that has been
-            # stopped since (multi-session tools); its storage died with
-            # the session — nothing to release
-            pass
-    df = df.persist()
-    _SIG_SLOT.append(df)
-    return df
+    from mintpy_spark.plans.cache import persist_slot
+
+    return persist_slot(df, _SIG_SLOT)
 NUM_PERM = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # NUM_PERM / LSH_BANDS
@@ -76,8 +61,12 @@ def token_hash(tok: Column) -> Column:
 
 
 def tokens(text_col: str) -> Column:
-    """Distinct non-empty whitespace tokens (the unigram shingle set)."""
-    return F.array_distinct(F.filter(F.split(text_col, " "), lambda x: x != ""))
+    """Distinct non-empty whitespace tokens (the unigram shingle set).
+    Tokenization delegates to the ONE expression in
+    functions/scalars.nonempty_tokens."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    return F.array_distinct(nonempty_tokens(text_col))
 
 
 def minhash_signatures(

@@ -33,11 +33,13 @@ def shingle_set(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a space-tokenized text (empty array for
     texts shorter than n words — guarded explicitly because Spark's
     ``sequence(0, -1)`` yields a descending list, not an empty one).
-    Empty tokens are dropped before windowing (same convention as
-    dedup.tokens()): a run of spaces is a cosmetic change, not a shingle
-    boundary, and a whitespace-only doc must yield the EMPTY set, not
-    {' '}."""
-    words = F.filter(F.split(text, " "), lambda t: t != "")
+    Empty tokens are dropped before windowing (the one tokenizer,
+    functions/scalars.nonempty_tokens): a run of spaces is a cosmetic
+    change, not a shingle boundary, and a whitespace-only doc must yield
+    the EMPTY set, not {' '}."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    words = nonempty_tokens(text)
     k = F.size(words) - (n - 1)
     shingles = F.transform(
         F.sequence(F.lit(0), k - 1),

@@ -38,22 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# One-slot persisted posting-list cache, same discipline (and trade-off)
-# as operators/dedup._SIG_SLOT: repeated invocations in one session
-# release the previous invocation's table instead of pinning a new one.
+# One-slot persisted posting-list cache (plans/cache.py discipline).
 _POSTING_SLOT: list = []
-
-
-def _persist_posting(df: DataFrame) -> DataFrame:
-    while _POSTING_SLOT:
-        prev = _POSTING_SLOT.pop()
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # previous table's session already stopped
-    df = df.persist()
-    _POSTING_SLOT.append(df)
-    return df
 
 
 def tfidf_top_terms(
@@ -67,32 +53,42 @@ def tfidf_top_terms(
     per group.
 
     tf = occurrences of term in the group's concatenated text (raw
-    count, whitespace tokens, empty tokens dropped); df = number of
-    distinct documents corpus-wide containing the term; N = total
+    count, whitespace tokens, empty tokens dropped — the one tokenizer,
+    functions/scalars.nonempty_tokens); df = number of DISTINCT
+    documents corpus-wide containing the term (countDistinct — exact
+    even if ids repeat across groups, and NULL ids are excluded, both
+    matching the SQL COUNT(DISTINCT doc_id) convention); N = total
     documents in the corpus (including empty ones — a stable
-    denominator); score = tf · ln(N / df). Terms in every document get
-    score 0 (ln 1) and fall out of the top-k naturally. Ordering:
-    score DESC, term ASC (deterministic under exact-tie)."""
+    denominator). score = tf · ln(N / df); corpus-ubiquitous terms
+    (df = N, score exactly 0) are EXCLUDED before ranking — a group
+    with fewer than k positive-score terms returns fewer than k rows
+    rather than padding the "most characteristic" list with
+    stopword-class terms. Ordering: score DESC, term ASC (deterministic
+    under exact-tie)."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+    from mintpy_spark.plans.cache import persist_slot
     toks = docs.select(
         group,
         id_col,
-        F.explode(
-            F.filter(F.split(text_col, " "), lambda t: t != "")
-        ).alias("term"),
+        F.explode(nonempty_tokens(text_col)).alias("term"),
     )
     n_docs = docs.agg(F.count("*").alias("_n"))
     # the posting list: one row per (doc, term) — the single pass over
     # the token explosion; tf and df are re-aggregations of it
-    posting = _persist_posting(
-        toks.groupBy(group, id_col, "term").agg(F.count("*").alias("tf_doc"))
+    posting = persist_slot(
+        toks.groupBy(group, id_col, "term").agg(F.count("*").alias("tf_doc")),
+        _POSTING_SLOT,
     )
     tf = posting.groupBy(group, "term").agg(F.sum("tf_doc").alias("tf"))
-    # one posting row per (doc, term), ids globally unique -> row count
-    # per term IS the distinct-document frequency
-    df_ = posting.groupBy("term").agg(F.count("*").alias("df"))
+    # distinct documents per term from the posting list (NOT a row
+    # count: ids repeated across groups or NULL ids must not inflate df)
+    df_ = posting.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
+        # df = N -> score exactly 0: not characteristic, exclude BEFORE
+        # ranking (integer comparison, no float-zero ambiguity)
+        .where(F.col("df") < F.col("_n"))
         .withColumn("score", F.col("tf") * F.log(F.col("_n") / F.col("df")))
     )
     w = Window.partitionBy(group).orderBy(F.desc("score"), F.asc("term"))

@@ -29,18 +29,19 @@ from mintpy_spark.queries import _q, load
              CASE WHEN prev IS NULL THEN NULL
                   WHEN ctr >= prev THEN ctr - prev
                   ELSE ctr END AS dd,
-             CAST(floor(epoch(ts)) AS BIGINT) AS e
+             epoch_us(ts) AS e
       FROM (SELECT user_id, ts, ctr,
                    lag(ctr) OVER (PARTITION BY user_id ORDER BY ts) AS prev
             FROM c WHERE ctr IS NOT NULL)),
     a AS (
       SELECT user_id, bucket_start,
              CAST(SUM(dd) AS BIGINT) AS increase,
-             MAX(e) - MIN(e) AS span_s
+             MAX(e) - MIN(e) AS span_us
       FROM d GROUP BY 1, 2)
-    SELECT user_id, bucket_start, increase, span_s,
-           CASE WHEN span_s > 0 AND increase IS NOT NULL
-                THEN ROUND(CAST(increase AS DOUBLE) / span_s, 6)
+    SELECT user_id, bucket_start, increase, span_us,
+           CASE WHEN span_us > 0 AND increase IS NOT NULL
+                THEN ROUND(CAST(increase AS DOUBLE)
+                           / (CAST(span_us AS DOUBLE) / 1000000.0), 6)
            END AS rate
     FROM a
     """,
@@ -48,8 +49,8 @@ from mintpy_spark.queries import _q, load
 def counter_rate_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style rate() per day over the same synthesized wrapping
     integer counter as counter_increase_1d: reset-aware increase divided
-    by the observed sample span inside the bucket
-    (operators/counter.counter_rate)."""
+    by the observed sample span inside the bucket, measured in integer
+    microseconds (operators/counter.counter_rate)."""
     from mintpy_spark.operators.counter import counter_rate
 
     ev = load(spark, sf_dir, "events")
@@ -67,8 +68,8 @@ def counter_rate_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT)
-               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             epoch_us(ts)
+               - lag(epoch_us(ts))
                  OVER (PARTITION BY user_id ORDER BY ts) AS gap
       FROM events),
     a AS (
@@ -78,7 +79,7 @@ def counter_rate_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(gap AS HUGEINT) * gap) AS s2
       FROM g WHERE gap IS NOT NULL GROUP BY user_id)
     SELECT user_id, n_gaps,
-           ROUND(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap_s,
+           ROUND(CAST(s1 AS DOUBLE) / n_gaps / 1000000.0, 4) AS mean_gap_s,
            ROUND(sqrt(CAST(n_gaps * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                       / (n_gaps - 1) / n_gaps)
                  * n_gaps / s1, 4) AS cv
@@ -114,7 +115,8 @@ def cadence_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT tf.source, tf.term, tf.tf, df.df,
              tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
-      FROM tf JOIN df USING (term) CROSS JOIN n),
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df < n.n),
     ranked AS (
       SELECT source, term, tf, df, score,
              row_number() OVER (PARTITION BY source

@@ -27,7 +27,7 @@ def test_counter_rate_span_and_reset(spark):
     df = spark.createDataFrame(rows, "url string, warc_ts timestamp, c long")
     r = counter_rate(df, "c", tier="30d").collect()[0]
     assert r.increase == 140
-    assert r.span_s == 100
+    assert r.span_us == 100_000_000
     assert r.rate == pytest.approx(1.4)
 
 
@@ -38,7 +38,7 @@ def test_counter_rate_single_sample_null(spark):
         [("u", _ts(0), 7)], "url string, warc_ts timestamp, c long"
     )
     r = counter_rate(df, "c", tier="1d").collect()[0]
-    assert r.span_s == 0 and r.rate is None
+    assert r.span_us == 0 and r.rate is None
 
 
 def test_interarrival_cv_metronomic_and_bursty(spark):
@@ -78,13 +78,34 @@ def test_tfidf_top_terms_known_corpus(spark):
         (4, "b", "common duck duck goose"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    out = tfidf_top_terms(docs, group="source", k=2).collect()
+    out = tfidf_top_terms(docs, group="source", k=3).collect()
     by = {(r.source, r.rank): r for r in out}
+    # 'common' is in every doc (df = N) -> excluded outright, never
+    # padding the characteristic-term list with score-0 rows
+    assert all(r.term != "common" for r in out)
     # N=4; 'common' in all 4 docs -> idf=0 -> never outranks group terms
     assert by[("a", 1)].term == "spark"
     assert by[("a", 1)].tf == 2 and by[("a", 1)].df == 1
     assert by[("a", 1)].score == pytest.approx(2 * math.log(4), abs=1e-6)
     assert by[("b", 1)].term == "duck"
     assert by[("b", 1)].score == pytest.approx(3 * math.log(2), abs=1e-6)
-    # rank-2 in b: goose (1 * ln4) > common (4... tf in b is 2 * ln1 = 0)
     assert by[("b", 2)].term == "goose"
+    # no group has 3 positive-score terms: short lists, not score-0 pad
+    assert ("a", 3) not in by and ("b", 3) not in by
+    assert ("a", 2) not in by  # 'a' has exactly one characteristic term
+
+
+def test_counter_rate_subsecond_burst(spark):
+    # 3 samples inside one second: microsecond spans keep the rate real
+    from mintpy_spark.operators.counter import counter_rate
+
+    rows = [
+        ("u", _ts(0) + dt.timedelta(microseconds=100_000), 0),
+        ("u", _ts(0) + dt.timedelta(microseconds=500_000), 40),
+        ("u", _ts(0) + dt.timedelta(microseconds=900_000), 80),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, c long")
+    r = counter_rate(df, "c", tier="1d").collect()[0]
+    assert r.increase == 80
+    assert r.span_us == 800_000
+    assert r.rate == pytest.approx(100.0)  # 80 over 0.8 s
