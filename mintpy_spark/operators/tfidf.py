@@ -98,3 +98,55 @@ def tfidf_top_terms(
         .select(group, "rank", "term", "tf", "df",
                 F.round("score", 6).alias("score"))
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, logprob): mean unigram log-probability of each
+    document under the corpus's own unigram model — the perplexity-proxy
+    quality filter of an LLM-data pipeline (docs full of corpus-rare
+    tokens score low: boilerplate noise, encoding damage, wrong-language
+    fragments; public n-gram-LM filtering convention, e.g. CCNet).
+
+    p(term) = corpus count(term) / total corpus tokens;
+    logprob  = mean over the doc's tokens of ln p(term).
+
+    Exactness discipline: ln p is an identical double on every engine
+    (exact integer count / exact integer total), but a float MEAN over a
+    doc's tokens is summation-order-sensitive — so each token's ln p is
+    quantized to integer micro-nats (floor(x·1e6 + 0.5), same fixed-point
+    recipe as operators/anomaly.quantize_fixed) and summed exactly; the
+    single final division is a fixed op sequence. Empty docs are excluded
+    (no tokens to score).
+
+    Scale shape: the corpus frequency table is vocabulary-sized (Heaps'
+    law) — it broadcasts; the token stream joins it map-side, then one
+    hash agg per doc. Zipf-hot terms skew the FREQUENCY agg, which is
+    partial-combined map-side, not the join."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    toks = docs.select(
+        id_col, F.explode(nonempty_tokens(text_col)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    # total tokens from the vocabulary-sized freq table, NOT a third
+    # pass over the token explosion
+    total = freq.agg(F.sum("c").alias("_t"))
+    lp = F.log(F.col("c").cast("double") / F.col("_t").cast("double"))
+    # integer micro-nats: exact summation regardless of partitioning
+    lp_q = F.floor(lp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, lp_q.alias("_lpq"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum("_lpq").alias("_s")
+    )
+    score = F.col("_s").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(1000000.0)
+    )
+    return agg.select(id_col, "n_tokens", F.round(score, 4).alias("logprob"))
