@@ -9,7 +9,8 @@ The storage analog of the reference's chunked HDF5 layout (stack.py:352-355
 * ts_blob  — delta-of-delta packed int64 microseconds (gorilla.py)
 * val_blob — Gorilla-XOR packed float32/64 values (gorilla.py)
 * txt_blob — zlib of the concatenated raw text bytes; txt_lens is the
-  per-document byte-length vector (int64 little-endian), so text
+  per-document byte-length vector (int64 little-endian; -1 marks a NULL
+  text, which contributes no bytes), so text — including NULLs —
   round-trips **byte-identically** (the input_hint invariant)
 
 Packing/unpacking run inside applyInPandas / mapInPandas — Arrow batches,
@@ -73,13 +74,21 @@ def pack_blocks(
             "val_blob": [encode_floats(vals)],
         }
         if text_col is not None:
-            # bytes, never str dtype: byte-identity (SURVEY.md §7.3 #4)
+            # bytes, never str dtype: byte-identity (SURVEY.md §7.3 #4).
+            # NULL text is ledgered as length -1 — encoding it as the
+            # literal b"None" (str(None)) would fabricate content that a
+            # downstream byte-identity or dedup check reads as real
             texts = [
-                t if isinstance(t, bytes) else str(t).encode("utf-8")
+                t if (t is None or isinstance(t, bytes))
+                else str(t).encode("utf-8")
                 for t in pdf[text_col].tolist()
             ]
-            lens = np.array([len(t) for t in texts], dtype=np.int64)
-            row["txt_blob"] = [zlib.compress(b"".join(texts), 6)]
+            lens = np.array(
+                [-1 if t is None else len(t) for t in texts], dtype=np.int64
+            )
+            row["txt_blob"] = [
+                zlib.compress(b"".join(t for t in texts if t is not None), 6)
+            ]
             row["txt_lens"] = [lens.tobytes()]
         else:
             row["txt_blob"] = [None]
@@ -103,7 +112,14 @@ def unpack_blocks(blocks: DataFrame, with_text: bool = False) -> DataFrame:
     fields = [
         T.StructField("key", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampType(), False),
-        T.StructField("value", T.DoubleType(), False),
+        # nullable: Spark's Arrow layer converts a pandas float NaN to
+        # NULL on the way back (pandas uses NaN as its NA sentinel), so a
+        # block holding NaN/NULL values would CRASH a non-nullable decode
+        # ("Value at index is null"). Semantics: Spark NULL and NaN both
+        # reach the packer as pandas NaN (same sentinel), encode as the
+        # NaN bit pattern, and decode back to Spark NULL — NULL is the
+        # canonical form on the Spark side of the codec boundary.
+        T.StructField("value", T.DoubleType(), True),
     ]
     if with_text:
         fields.append(T.StructField("text", T.BinaryType(), True))
@@ -124,9 +140,14 @@ def unpack_blocks(blocks: DataFrame, with_text: bool = False) -> DataFrame:
                     if r.txt_blob is not None:
                         raw = zlib.decompress(bytes(r.txt_blob))
                         lens = np.frombuffer(bytes(r.txt_lens), dtype=np.int64)
-                        ends = np.cumsum(lens)
-                        starts = ends - lens
-                        out["text"] = [raw[a:b] for a, b in zip(starts, ends)]
+                        # -1 entries are NULL texts (ledgered, not stored)
+                        sizes = np.where(lens < 0, 0, lens)
+                        ends = np.cumsum(sizes)
+                        starts = ends - sizes
+                        out["text"] = [
+                            None if ln < 0 else raw[a:b]
+                            for a, b, ln in zip(starts, ends, lens)
+                        ]
                     else:
                         out["text"] = [None] * r.n
                 frames.append(pd.DataFrame(out))

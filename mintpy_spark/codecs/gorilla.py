@@ -107,13 +107,10 @@ def decode_floats(blob: bytes) -> np.ndarray:
 
 
 def _xor_scan(x: np.ndarray) -> np.ndarray:
-    """Inclusive XOR prefix scan via log2(n) doubling passes."""
-    out = x.copy()
-    shift = 1
-    while shift < out.size:
-        out[shift:] ^= out[:-shift].copy()
-        shift *= 2
-    return out
+    """Inclusive XOR prefix scan — numpy's ufunc accumulate is a single C
+    pass (the hand-rolled log2(n)-doubling loop it replaces did a full
+    array copy + XOR per pass on the cold-tier decode hot path)."""
+    return np.bitwise_xor.accumulate(x)
 
 
 _TS_CLASS_BYTES = np.array([0, 1, 2, 4, 8], dtype=np.int64)

@@ -33,6 +33,29 @@ SECONDS_PER_YEAR = 365.25 * SECONDS_PER_DAY
 TIER_SECONDS = {"1h": 3600, "1d": 86400, "30d": 30 * 86400}
 
 
+def iso_to_epoch_sec(s: str) -> int:
+    """Driver-side '%Y-%m-%d %H:%M:%S' -> epoch seconds — THE one copy of
+    the convention shared by the range-cover planner
+    (operators/rollup.plan_range_cover) and the compaction cutoff gate
+    (operators/retention.compact_raw), so their bucket math can never
+    silently disagree."""
+    from datetime import datetime
+
+    return int(
+        (datetime.strptime(s, "%Y-%m-%d %H:%M:%S") - datetime(1970, 1, 1))
+        .total_seconds()
+    )
+
+
+def epoch_sec_to_iso(sec: int) -> str:
+    """Inverse of iso_to_epoch_sec."""
+    from datetime import datetime, timedelta
+
+    return (datetime(1970, 1, 1) + timedelta(seconds=sec)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
 def decimal_year(ts: Column) -> Column:
     """Timestamp -> decimal year, MintPy 365.25 convention.
 

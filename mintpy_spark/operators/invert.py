@@ -108,8 +108,26 @@ def network_invert(
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         k = pdf[key].iloc[0]
-        # skip_invalid_obs (ifgram_inversion.py:70-88): drop NaN pairs
-        pdf = pdf[pdf[delta_col].notna()]
+        # skip_invalid_obs (ifgram_inversion.py:70-88): drop NaN pairs.
+        # NULL endpoints too — a NaT survives np.unique as its own date
+        # (NaT != NaT) and then idx[NaT] raises KeyError, killing the
+        # whole job on one malformed row instead of skipping it. Self
+        # pairs (ts1 == ts2) are vacuous constraints: the Laplacian path
+        # nets them to zero but the dense path would overwrite the -1
+        # with +1, turning them into a bogus absolute-value constraint —
+        # drop them so both solver paths agree. Non-finite or
+        # non-positive weights likewise: one NaN weight propagates
+        # through np.linalg.solve WITHOUT raising and silently nulls the
+        # key's entire series.
+        pdf = pdf[
+            pdf[delta_col].notna()
+            & pdf[ts1].notna()
+            & pdf[ts2].notna()
+            & (pdf[ts1] != pdf[ts2])
+        ]
+        if weight_col is not None:
+            w_ok = pd.to_numeric(pdf[weight_col], errors="coerce")
+            pdf = pdf[np.isfinite(w_ok) & (w_ok > 0)]
         if len(pdf) == 0:
             return pd.DataFrame({f.name: [] for f in schema.fields})
         # index through the numpy datetime64 values (iterating the pandas

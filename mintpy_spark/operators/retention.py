@@ -126,17 +126,12 @@ def compact_raw(
     never touched.  The compaction is recorded in the maintainer's
     lineage metrics table (north-rule checkpoint discipline).
     """
-    from mintpy_spark.functions.timefn import TIER_SECONDS
+    from mintpy_spark.functions.timefn import TIER_SECONDS, iso_to_epoch_sec
 
     value_col = value_col or maintainer.value_col
     ts = maintainer.ts
     width = TIER_SECONDS[tier]
-    from datetime import datetime
-
-    cut_sec = int(
-        (datetime.strptime(cutoff, "%Y-%m-%d %H:%M:%S") - datetime(1970, 1, 1))
-        .total_seconds()
-    )
+    cut_sec = iso_to_epoch_sec(cutoff)
     if cut_sec % width:
         raise ValueError(
             f"cutoff {cutoff} is not aligned to the {tier} tier boundary"
@@ -194,10 +189,15 @@ def compact_raw(
 
     # NULL-ts rows are outside every bucket: `ts >= cut` would silently
     # drop them (NULL is neither >= nor < cut, so they'd vanish from the
-    # rewrite AND from drop_counts/ledger — unaccounted loss). Keep them
-    # unconditionally; compaction only ever removes rows it has ledgered.
-    kept = raw.where(F.col(ts).isNull() | (F.col(ts) >= cut))
-    kept_cnt = kept.count()
+    # rewrite AND from drop_counts/ledger — unaccounted loss). NULL-VALUE
+    # rows are equally unledgerable: the gate and drop_counts both count
+    # non-NULL values only (tiers count values), so deleting an old row
+    # whose value is NULL would lose its timestamp without any ledger
+    # trace. Keep both unconditionally; compaction only ever removes rows
+    # it has ledgered.
+    kept = raw.where(
+        F.col(ts).isNull() | (F.col(ts) >= cut) | F.col(value_col).isNull()
+    )
     # pin the ledger delta BEFORE the swap — it is computed from the old
     # raw directory, which is about to disappear
     ledger_delta = drop_counts.select(
@@ -206,6 +206,9 @@ def compact_raw(
     tmp = raw_path.rstrip("/") + ".__compact_tmp"
     old = raw_path.rstrip("/") + ".__old"
     kept.write.mode("overwrite").parquet(tmp)
+    # row count from the just-written parquet footers — not a dedicated
+    # kept.count() action that re-scans the full raw table a 4th time
+    kept_cnt = spark.read.parquet(tmp).count()
     fs, raw_p = maintainer._fs(spark, raw_path)
     _, tmp_p = maintainer._fs(spark, tmp)
     _, old_p = maintainer._fs(spark, old)

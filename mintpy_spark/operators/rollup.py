@@ -166,9 +166,31 @@ def merge_tier_delta(
             delta_obs, value_col, tier, key=key, ts=ts, with_sq=with_sq
         )
     pcols = _partial_cols(stored)
-    s = stored.select(key, "bucket_start", *[F.col(c).alias(f"_s_{c}") for c in pcols])
-    dd = d.select(key, "bucket_start", *[F.col(c).alias(f"_d_{c}") for c in pcols])
-    j = s.join(dd, [key, "bucket_start"], "full")
+    s = stored.select(
+        F.col(key).alias("_s_k"),
+        F.col("bucket_start").alias("_s_b"),
+        *[F.col(c).alias(f"_s_{c}") for c in pcols],
+    )
+    dd = d.select(
+        F.col(key).alias("_d_k"),
+        F.col("bucket_start").alias("_d_b"),
+        *[F.col(c).alias(f"_d_{c}") for c in pcols],
+    )
+    # null-safe equality: a NULL-ts observation rolls into the (key,
+    # NULL) bucket, and plain name-list joins would never match it —
+    # each fold would APPEND another (key, NULL) duplicate instead of
+    # merging, silently diverging the store from a batch rebuild
+    j = s.join(
+        dd,
+        F.col("_s_k").eqNullSafe(F.col("_d_k"))
+        & F.col("_s_b").eqNullSafe(F.col("_d_b")),
+        "full",
+    ).select(
+        F.coalesce("_s_k", "_d_k").alias(key),
+        F.coalesce("_s_b", "_d_b").alias("bucket_start"),
+        *[f"_s_{c}" for c in pcols],
+        *[f"_d_{c}" for c in pcols],
+    )
     zero = F.lit(0)
     cnt = F.coalesce("_s_cnt", zero) + F.coalesce("_d_cnt", zero)
     # vsum is NULL iff cnt is 0 (an all-NULL bucket) — a full rebuild
@@ -182,12 +204,9 @@ def merge_tier_delta(
         "bucket_start",
         cnt.alias("cnt"),
         vsum.alias("vsum"),
-        F.least(
-            F.coalesce("_s_vmin", F.col("_d_vmin")), F.coalesce("_d_vmin", F.col("_s_vmin"))
-        ).alias("vmin"),
-        F.greatest(
-            F.coalesce("_s_vmax", F.col("_d_vmax")), F.coalesce("_d_vmax", F.col("_s_vmax"))
-        ).alias("vmax"),
+        # least/greatest skip NULL arguments natively — no coalesce dance
+        F.least("_s_vmin", "_d_vmin").alias("vmin"),
+        F.greatest("_s_vmax", "_d_vmax").alias("vmax"),
     ]
     if with_sq:
         out_cols.append(
@@ -280,14 +299,32 @@ def cascade_refresh(
     dirty = touched_fine.select(
         key, bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start")
     ).distinct()
-    fine_in_dirty = merged_fine.withColumn(
-        "_coarse", bucket_start(F.col("bucket_start"), to_tier)
-    ).join(
-        dirty.select(key, F.col("bucket_start").alias("_coarse")),
-        [key, "_coarse"],
-    ).drop("_coarse")
+    # null-safe joins throughout: the (key, NULL) bucket (NULL-ts
+    # observations) must be refreshable and anti-joinable like any other
+    # — plain equality would leave the stale NULL cell in `kept` while
+    # never selecting its fine rows for the rebuild
+    d_sel = dirty.select(
+        F.col(key).alias("_dk"), F.col("bucket_start").alias("_db")
+    )
+    fine_in_dirty = (
+        merged_fine.withColumn(
+            "_coarse", bucket_start(F.col("bucket_start"), to_tier)
+        )
+        .join(
+            d_sel,
+            F.col(key).eqNullSafe(F.col("_dk"))
+            & F.col("_coarse").eqNullSafe(F.col("_db")),
+            "left_semi",
+        )
+        .drop("_coarse")
+    )
     rebuilt = cascade(fine_in_dirty, to_tier, key=key)
-    kept = stored_coarse.join(dirty, [key, "bucket_start"], "left_anti")
+    kept = stored_coarse.join(
+        d_sel,
+        F.col(key).eqNullSafe(F.col("_dk"))
+        & F.col("bucket_start").eqNullSafe(F.col("_db")),
+        "left_anti",
+    )
     return kept.unionByName(rebuilt)
 
 
@@ -357,7 +394,12 @@ def histogram_tier(
     width = (hi - lo) / nbins
     v = F.col(value_col).cast("double")
     b = (
-        F.when(v < lo, F.lit(0))
+        # NaN first: Spark orders NaN GREATER than any value, so without
+        # this guard NaN satisfies v >= hi and lands in the overflow bin,
+        # skewing every sketch quantile toward hi; NaN belongs in the
+        # NULL bin with NULL values (quantile_from_histogram drops it)
+        F.when(F.isnan(v), F.lit(None).cast("int"))
+        .when(v < lo, F.lit(0))
         .when(v >= hi, F.lit(nbins + 1))
         .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)) + 1)
         .cast("int")
@@ -440,18 +482,14 @@ def plan_range_cover(
     continuous-aggregate read path: an arbitrary range is answered almost
     entirely from stored partials, raw rows only inside the sub-hour
     fringe (at 10^12 docs: tier rows ~10^-4 of raw for the interior)."""
-    from datetime import datetime
+    from mintpy_spark.functions.timefn import (
+        epoch_sec_to_iso,
+        iso_to_epoch_sec,
+    )
 
-    fmt = "%Y-%m-%d %H:%M:%S"
-    epoch = datetime(1970, 1, 1)
+    to_sec = iso_to_epoch_sec
 
-    def to_sec(s: str) -> int:
-        return int((datetime.strptime(s, fmt) - epoch).total_seconds())
-
-    def to_str(sec: int) -> str:
-        from datetime import timedelta
-
-        return (epoch + timedelta(seconds=sec)).strftime(fmt)
+    to_str = epoch_sec_to_iso
 
     pieces: list[tuple[str, int, int]] = []
     segments = [(to_sec(t0), to_sec(t1))]

@@ -669,7 +669,8 @@ def rollup_1d_variance_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-           CASE WHEN value < 0.0 THEN 0
+           CASE WHEN isnan(value) THEN NULL
+                WHEN value < 0.0 THEN 0
                 WHEN value >= 100.0 THEN 21
                 ELSE CAST(floor(value / 5.0) AS INT) + 1 END AS bin,
            COUNT(*) AS cnt

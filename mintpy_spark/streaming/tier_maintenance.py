@@ -165,7 +165,10 @@ class TierMaintainer:
     def _gc(self, spark: SparkSession) -> None:
         """Drop all version dirs except the latest two committed (the
         current version plus the one a crashed-then-replayed batch would
-        recompute from)."""
+        recompute from), AND their commit markers — markers for GC'd
+        versions are dead weight that would otherwise accumulate one per
+        batch forever, making every committed_version()/versions() call
+        an O(all-history) listing (billed and slow on object stores)."""
         fs, root = self._fs(spark, self.root)
         if not fs.exists(root):
             return
@@ -178,6 +181,10 @@ class TierMaintainer:
         for v in versions[:-2]:  # keep latest + previous
             _fs2, p = self._fs(spark, f"{self.root}/v{v:012d}")
             fs.delete(p, True)
+            # marker AFTER dir: a crash in between leaves a marker for a
+            # missing dir, which versions() already filters out
+            _fs3, mk = self._fs(spark, f"{self.root}/_commits/v{v:012d}")
+            fs.delete(mk, False)
 
     def apply_delta(
         self, delta_obs: DataFrame, batch_id: int = 0, with_sq: bool = False
