@@ -166,56 +166,23 @@ def merge_tier_delta(
             delta_obs, value_col, tier, key=key, ts=ts, with_sq=with_sq
         )
     pcols = _partial_cols(stored)
-    s = stored.select(
-        F.col(key).alias("_s_k"),
-        F.col("bucket_start").alias("_s_b"),
-        *[F.col(c).alias(f"_s_{c}") for c in pcols],
+    # The merge IS a partial re-aggregation: union the two partial
+    # frames and fold with the ONE merge spec (_merge_partials). This is
+    # both the simplest correct form and the scale-right one:
+    # - groupBy groups NULL keys natively, so the (key, NULL) bucket of
+    #   NULL-ts observations MERGES — a name-list full-outer join never
+    #   matches NULL and appended a duplicate (key, NULL) row per fold,
+    #   silently diverging the store from a batch rebuild;
+    # - an eqNullSafe join would also be correct but costs 2 extra
+    #   tier-sized Exchanges per fold (null-safe keys forfeit the
+    #   aggregations' partitioning reuse; measured 2 -> 4), while the
+    #   union form re-shuffles the union once (+1);
+    # - sum/min/max skip NULLs, so the "vsum is NULL iff cnt == 0"
+    #   rebuild semantics hold without any coalesce bookkeeping.
+    cols = [key, "bucket_start", *pcols]
+    return _merge_partials(
+        stored.select(*cols).unionByName(d.select(*cols)), key
     )
-    dd = d.select(
-        F.col(key).alias("_d_k"),
-        F.col("bucket_start").alias("_d_b"),
-        *[F.col(c).alias(f"_d_{c}") for c in pcols],
-    )
-    # null-safe equality: a NULL-ts observation rolls into the (key,
-    # NULL) bucket, and plain name-list joins would never match it —
-    # each fold would APPEND another (key, NULL) duplicate instead of
-    # merging, silently diverging the store from a batch rebuild
-    j = s.join(
-        dd,
-        F.col("_s_k").eqNullSafe(F.col("_d_k"))
-        & F.col("_s_b").eqNullSafe(F.col("_d_b")),
-        "full",
-    ).select(
-        F.coalesce("_s_k", "_d_k").alias(key),
-        F.coalesce("_s_b", "_d_b").alias("bucket_start"),
-        *[f"_s_{c}" for c in pcols],
-        *[f"_d_{c}" for c in pcols],
-    )
-    zero = F.lit(0)
-    cnt = F.coalesce("_s_cnt", zero) + F.coalesce("_d_cnt", zero)
-    # vsum is NULL iff cnt is 0 (an all-NULL bucket) — a full rebuild
-    # yields NULL there, so the merge must too, not coalesce it to 0.0
-    vsum = F.when(
-        cnt > 0,
-        F.coalesce("_s_vsum", F.lit(0.0)) + F.coalesce("_d_vsum", F.lit(0.0)),
-    )
-    out_cols = [
-        key,
-        "bucket_start",
-        cnt.alias("cnt"),
-        vsum.alias("vsum"),
-        # least/greatest skip NULL arguments natively — no coalesce dance
-        F.least("_s_vmin", "_d_vmin").alias("vmin"),
-        F.greatest("_s_vmax", "_d_vmax").alias("vmax"),
-    ]
-    if with_sq:
-        out_cols.append(
-            F.when(
-                cnt > 0,
-                F.coalesce("_s_vsumsq", F.lit(0.0)) + F.coalesce("_d_vsumsq", F.lit(0.0)),
-            ).alias("vsumsq")
-        )
-    return j.select(*out_cols)
 
 
 def parse_width(spec: str) -> int:
@@ -299,12 +266,19 @@ def cascade_refresh(
     dirty = touched_fine.select(
         key, bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start")
     ).distinct()
-    # null-safe joins throughout: the (key, NULL) bucket (NULL-ts
-    # observations) must be refreshable and anti-joinable like any other
-    # — plain equality would leave the stale NULL cell in `kept` while
-    # never selecting its fine rows for the rebuild
-    d_sel = dirty.select(
-        F.col(key).alias("_dk"), F.col("bucket_start").alias("_db")
+    # The (key, NULL) bucket (NULL-ts observations) must be refreshable
+    # and anti-joinable like any other cell; plain name-list joins never
+    # match NULL and would leave the stale NULL cell in `kept` while
+    # never selecting its fine rows for the rebuild. Null-safe equality
+    # against the BROADCAST dirty set keeps this correct AND cheap: the
+    # dirty frame is delta-sized by construction, so both joins stream
+    # the big side with zero shuffle (broadcast hash semi/anti join —
+    # eqNullSafe is a supported hash-join key), instead of forfeiting
+    # the tier's partitioning to a null-safe shuffle join.
+    d_sel = F.broadcast(
+        dirty.select(
+            F.col(key).alias("_dk"), F.col("bucket_start").alias("_db")
+        )
     )
     fine_in_dirty = (
         merged_fine.withColumn(
