@@ -392,6 +392,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3d  # noqa: F401  (anomaly/correlation queries)
     import mintpy_spark.queries_r3e  # noqa: F401  (rate/cadence/tfidf queries)
     import mintpy_spark.queries_r3f  # noqa: F401  (STL/logprob queries)
+    import mintpy_spark.queries_r3g  # noqa: F401  (repetition/boilerplate queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
