@@ -459,12 +459,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 # ROUND-4 NOTE: after CORRECTNESS_r03.json lands, rebuild this list as
 # (registry keys) - (r01 ∪ r02 ∪ r03 keys). Assuming the r3 snapshot
-# records the head-50 above, exactly these 10 batch-c/d/e queries remain
-# never-driver-checked and must move to the head next round:
-# anomaly_rolling_z, cadence_interarrival_cv, corr_len_tokens,
-# counter_rate_1d, downsample_ltob_1d, drift_shingle_jaccard,
-# simsearch_sq_topk, temporal_filter_ewma, tfidf_top_terms,
-# velocity_theilsen.
+# records the head-50 above, exactly these 14 batch-c/d/e/f/g queries
+# remain never-driver-checked and must move to the head next round:
+# anomaly_rolling_z, boilerplate_coverage, cadence_interarrival_cv,
+# corr_len_tokens, counter_rate_1d, doc_unigram_logprob,
+# downsample_ltob_1d, drift_shingle_jaccard, simsearch_sq_topk,
+# stl_decompose_hourly, temporal_filter_ewma, text_repetition_profile,
+# tfidf_top_terms, velocity_theilsen.
 
 
 def _ordered(d: dict) -> dict:
