@@ -713,3 +713,108 @@ def components_oracle_sql(
     SELECT id AS {id_col}, lbl AS component FROM l{iterations}
     """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span deduplication (round 3, batch h): the Lee et al.
+# 2022 "Deduplicating Training Data Makes Language Models Better" signal,
+# recast from suffix arrays to a distributed shingle-hash census.
+# ---------------------------------------------------------------------------
+
+def duplicated_window_fraction(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-substring-span census: every k-token
+    window of every document is hashed, and a window *position* counts as
+    duplicated iff its window string occurs >= 2 times anywhere in the
+    corpus (other documents or a repeat within the same document —
+    exactly the substring-duplication criterion of Lee et al. 2022,
+    arXiv:2107.06499, with fixed-k windows standing in for the suffix
+    array's maximal repeated substrings; Dolma and RefinedWeb use the
+    same fixed-k approximation).
+
+    Returns (id_col, n_windows, dup_windows, dup_bp) with dup_bp =
+    floor(dup/n * 10000 + 0.5) — an exact-integer basis-point fraction
+    (engine-portable quantization; no float formatting in the output).
+    Documents with fewer than k tokens carry no windows and are omitted.
+
+    Plan shape / 100 TB notes:
+    * The window explode is O(total tokens) rows, but each row is only
+      (doc_id, 60-bit hash) — the window STRING never shuffles; the md5
+      is taken row-locally right after the explode.
+    * Two hash aggregations (partial+final both times) and one shuffle
+      join keyed on the window hash — uniformly distributed by
+      construction, so no skew path is needed; AQE coalesces the tail.
+    * At 10^12 documents the census table (distinct window hashes) is the
+      big intermediate; the standard cheapening is a counting Bloom
+      filter per partition OR-merged on the driver, trading exactness
+      for memory — this exact form IS the oracle-checkable baseline the
+      filter variant would be validated against.
+    * size(toks) >= k is guarded explicitly: Spark's sequence(0, n-k)
+      yields a DESCENDING sequence when n < k, not an empty one.
+
+    Reference parity: extends the engine per the build brief (dedup as a
+    first-class component); no reference analog.
+    """
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    t = docs.select(
+        F.col(id_col), nonempty_tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= k)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i + F.lit(1), F.lit(k))),
+    )
+    pos = t.select(F.col(id_col), F.explode(wins).alias("_win"))
+    pos = pos.select(F.col(id_col), token_hash(F.col("_win")).alias("h"))
+    local = pos.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    tot = local.groupBy("h").agg(F.sum("c").alias("tot"))
+    j = local.join(tot, "h")
+    dup = F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            dup.cast("long").alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.floor(
+                F.col("dup_windows") * F.lit(10000.0) / F.col("n_windows")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+
+
+def substring_spans_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8,
+) -> str:
+    """DuckDB twin of duplicated_window_fraction — identical tokenizer
+    (list_filter(string_split)), identical 60-bit md5 window hash,
+    identical floor-quantized basis points."""
+    return f"""
+    WITH w AS (
+      SELECT {id_col},
+             list_filter(string_split({text_col}, ' '), t -> t <> '') AS toks
+      FROM {table}),
+    pos AS (
+      SELECT {id_col},
+             unnest([('0x' || substring(
+                        md5(array_to_string(toks[i:i+{k - 1}], ' ')),
+                        1, 15))::BIGINT
+                     FOR i IN range(1, len(toks) - {k - 2})]) AS h
+      FROM w WHERE len(toks) >= {k}),
+    l AS (SELECT {id_col}, h, COUNT(*) AS c FROM pos GROUP BY {id_col}, h),
+    t AS (SELECT h, SUM(c) AS tot FROM l GROUP BY h)
+    SELECT l.{id_col},
+           CAST(SUM(c) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_windows,
+           CAST(floor(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) * 10000.0
+                      / SUM(c) + 0.5) AS BIGINT) AS dup_bp
+    FROM l JOIN t USING (h)
+    GROUP BY l.{id_col}
+    """

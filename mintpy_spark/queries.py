@@ -393,6 +393,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3e  # noqa: F401  (rate/cadence/tfidf queries)
     import mintpy_spark.queries_r3f  # noqa: F401  (STL/logprob queries)
     import mintpy_spark.queries_r3g  # noqa: F401  (repetition/boilerplate queries)
+    import mintpy_spark.queries_r3h  # noqa: F401  (substring-span dedup queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -459,13 +460,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 # ROUND-4 NOTE: after CORRECTNESS_r03.json lands, rebuild this list as
 # (registry keys) - (r01 ∪ r02 ∪ r03 keys). Assuming the r3 snapshot
-# records the head-50 above, exactly these 14 batch-c/d/e/f/g queries
-# remain never-driver-checked and must move to the head next round:
+# records the head-50 above, exactly these 16 batch-c..h queries remain
+# never-driver-checked and must move to the head next round:
 # anomaly_rolling_z, boilerplate_coverage, cadence_interarrival_cv,
-# corr_len_tokens, counter_rate_1d, doc_unigram_logprob,
-# downsample_ltob_1d, drift_shingle_jaccard, simsearch_sq_topk,
-# stl_decompose_hourly, temporal_filter_ewma, text_repetition_profile,
-# tfidf_top_terms, velocity_theilsen.
+# corr_len_tokens, counter_rate_1d, dedup_substring_spans,
+# doc_unigram_logprob, downsample_ltob_1d, drift_shingle_jaccard,
+# simsearch_sq_topk, source_dup_profile, stl_decompose_hourly,
+# temporal_filter_ewma, text_repetition_profile, tfidf_top_terms,
+# velocity_theilsen.
 
 
 def _ordered(d: dict) -> dict:
