@@ -739,13 +739,19 @@ def duplicated_window_fraction(
     (engine-portable quantization; no float formatting in the output).
     Documents with fewer than k tokens carry no windows and are omitted.
 
-    Plan shape / 100 TB notes:
+    Plan shape / 100 TB notes (ONE scan, TWO Exchanges total):
     * The window explode is O(total tokens) rows, but each row is only
       (doc_id, 60-bit hash) — the window STRING never shuffles; the md5
       is taken row-locally right after the explode.
-    * Two hash aggregations (partial+final both times) and one shuffle
-      join keyed on the window hash — uniformly distributed by
-      construction, so no skew path is needed; AQE coalesces the tail.
+    * One explicit repartition on the window hash clusters everything
+      the census needs: hash(h) partitioning *satisfies* the clustered
+      distribution of both the (id, h) aggregation and the
+      partitionBy(h) window, so the per-window corpus total is a
+      window-function sum with NO join, no second scan of the corpus,
+      and no extra shuffle — the naive self-join form costs 4 Exchanges
+      and reads the corpus twice. The hash key is uniform by
+      construction (md5), so no skew path is needed.
+    * The only other Exchange is the final per-document re-aggregation.
     * At 10^12 documents the census table (distinct window hashes) is the
       big intermediate; the standard cheapening is a counting Bloom
       filter per partition OR-merged on the driver, trading exactness
@@ -757,6 +763,8 @@ def duplicated_window_fraction(
     Reference parity: extends the engine per the build brief (dedup as a
     first-class component); no reference analog.
     """
+    from pyspark.sql import Window
+
     from mintpy_spark.functions.scalars import nonempty_tokens
 
     t = docs.select(
@@ -768,9 +776,12 @@ def duplicated_window_fraction(
     )
     pos = t.select(F.col(id_col), F.explode(wins).alias("_win"))
     pos = pos.select(F.col(id_col), token_hash(F.col("_win")).alias("h"))
-    local = pos.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
-    tot = local.groupBy("h").agg(F.sum("c").alias("tot"))
-    j = local.join(tot, "h")
+    local = (
+        pos.repartition("h")
+        .groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = local.withColumn("tot", F.sum("c").over(Window.partitionBy("h")))
     dup = F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(F.lit(0)))
     return (
         j.groupBy(id_col)
