@@ -201,3 +201,67 @@ def exact_group_corr(
         num.alias("corr_num"),
         F.round(corr, 4).alias("corr"),
     )
+
+
+def burst_ratio_daily(
+    events: DataFrame, key: str = "event_type", ts: str = "ts",
+    lookback_days: int = 7, threshold_num: int = 2, threshold_den: int = 1,
+) -> DataFrame:
+    """Traffic-burst detection per key: each day's event count scored
+    against the trailing ``lookback_days``-day baseline (Kleinberg-style
+    burst heuristic reduced to its thresholded rate-ratio core — the
+    monitor a crawl pipeline runs per domain/event-type to catch scrape
+    storms or template explosions).
+
+    The decision is INTEGER-exact (same discipline as the rolling
+    z-score above): with c = today's count, s = Σ prior counts over m
+    prior active days, burst ⇔ c·m·threshold_den ≥ threshold_num·s —
+    no float at the decision boundary, so the flagged set is
+    bit-reproducible across engines and partitionings. ratio_bp =
+    floor(c·m·10⁴/s + 0.5) is the quantized ratio for reporting; days
+    with no prior baseline (m = 0) report NULL ratio and flag 0.
+
+    Reference analog: residual-RMS epoch outliers
+    (src/mintpy/timeseries_rms.py:34-72) flag whole epochs against the
+    series' own statistic; this is the count-domain counterpart on the
+    1d tier.
+
+    Plan shape: the daily-count aggregation and the trailing RANGE
+    window share the same key — one Exchange on (key), window state is
+    O(lookback) per key. RANGE frame ordered by integer epoch-day so
+    calendar gaps (days with zero events) age out of the baseline
+    correctly, unlike a ROWS frame which would stretch across gaps.
+    """
+    day = F.date_trunc("day", F.col(ts).cast("timestamp"))
+    c = (
+        events.groupBy(F.col(key).alias(key), day.alias("bucket_day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("d", F.datediff("bucket_day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("d")
+        .rangeBetween(-lookback_days, -1)
+    )
+    out = c.withColumn("s_prev", F.sum("c").over(w)).withColumn(
+        "m_prev", F.count("c").over(w)
+    )
+    ratio_bp = F.floor(
+        F.col("c") * F.col("m_prev") * F.lit(10000.0) / F.col("s_prev")
+        + F.lit(0.5)
+    ).cast("long")
+    burst = (
+        F.col("c") * F.col("m_prev") * F.lit(threshold_den)
+        >= F.lit(threshold_num) * F.col("s_prev")
+    ).cast("int")
+    return out.select(
+        key,
+        "bucket_day",
+        F.col("c").cast("long").alias("c"),
+        F.coalesce(F.col("s_prev"), F.lit(0)).cast("long").alias("s_prev"),
+        F.coalesce(F.col("m_prev"), F.lit(0)).cast("long").alias("m_prev"),
+        F.when(F.col("m_prev") > 0, ratio_bp).alias("ratio_bp"),
+        F.coalesce(
+            F.when(F.col("m_prev") > 0, burst), F.lit(0)
+        ).alias("burst"),
+    )

@@ -721,6 +721,30 @@ def components_oracle_sql(
 # recast from suffix arrays to a distributed shingle-hash census.
 # ---------------------------------------------------------------------------
 
+def window_hash_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """One row per k-token window *position*: (id_col, h) with h the
+    60-bit portable hash of the window string. The shared candidate
+    generator of the substring-span census and benchmark decontamination
+    (operators/curation.py) — row-local explode + hash, the window STRING
+    never leaves the projection, so nothing wider than 16 bytes shuffles.
+    size(toks) >= k is guarded explicitly: Spark's sequence(0, n-k)
+    yields a DESCENDING sequence when n < k, not an empty one."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    t = docs.select(
+        F.col(id_col), nonempty_tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= k)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i + F.lit(1), F.lit(k))),
+    )
+    pos = t.select(F.col(id_col), F.explode(wins).alias("_win"))
+    return pos.select(F.col(id_col), token_hash(F.col("_win")).alias("h"))
+
+
 def duplicated_window_fraction(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8,
@@ -765,17 +789,7 @@ def duplicated_window_fraction(
     """
     from pyspark.sql import Window
 
-    from mintpy_spark.functions.scalars import nonempty_tokens
-
-    t = docs.select(
-        F.col(id_col), nonempty_tokens(text_col).alias("_toks")
-    ).where(F.size("_toks") >= k)
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size("_toks") - k),
-        lambda i: F.concat_ws(" ", F.slice("_toks", i + F.lit(1), F.lit(k))),
-    )
-    pos = t.select(F.col(id_col), F.explode(wins).alias("_win"))
-    pos = pos.select(F.col(id_col), token_hash(F.col("_win")).alias("h"))
+    pos = window_hash_positions(docs, id_col=id_col, text_col=text_col, k=k)
     local = (
         pos.repartition("h")
         .groupBy(id_col, "h")

@@ -127,3 +127,55 @@ def theil_sen_velocity(
         F.expr("percentile(slope, 0.5)").alias("velocity"),
         F.count("slope").alias("num_pairs"),
     )
+
+
+def winsorized_daily_stats(
+    events: DataFrame, ts: str = "ts", value: str = "value",
+    lo: float = 0.05, hi: float = 0.95, scale: float = 100.0,
+) -> DataFrame:
+    """Winsorized (percentile-clamped) daily rollup: per day, clamp every
+    value into its day's exact [p_lo, p_hi] percentile band, then report
+    exact-integer partials of the clamped values — the robust-mean tier
+    a monitoring pipeline stores when raw means are outlier-dominated
+    (the aggregate-side counterpart of the reference's MAD epoch
+    exclusion, src/mintpy/timeseries_rms.py:35-72: instead of dropping
+    whole epochs, each epoch's tail values are clamped).
+
+    Exactness: Spark ``percentile(x, q)`` and DuckDB ``quantile_cont``
+    share the same linear interpolation over identical double multisets,
+    and every clamped value is quantized row-locally with the portable
+    floor(x*scale + 0.5) before summation, so the reported partials are
+    exact int64 — no float summation-order ambiguity.
+
+    Plan shape: ONE Exchange. The explicit repartition on the day bucket
+    satisfies the clustered distribution of both the percentile window
+    (PARTITION BY day, unbounded frame) and the final groupBy(day) — the
+    same single-shuffle trick as the substring-span census
+    (operators/dedup.duplicated_window_fraction). Day-bucket state is
+    bounded (one day of one metric per partition); skew across days is
+    bounded by the crawl's own daily volume.
+    """
+    day = F.date_trunc("day", F.col(ts).cast("timestamp"))
+    v = F.col(value)
+    base = (
+        events.where(v.isNotNull() & ~F.isnan(v))
+        .select(day.alias("bucket_day"), v.alias("v"))
+        .repartition("bucket_day")
+    )
+    w = Window.partitionBy("bucket_day")
+    clamped = (
+        base.withColumn("p_lo", F.expr(f"percentile(v, {lo})").over(w))
+        .withColumn("p_hi", F.expr(f"percentile(v, {hi})").over(w))
+        .withColumn("wv", F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi")))
+    )
+    q = lambda c: F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        clamped.groupBy("bucket_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(q(F.col("p_lo"))).alias("p_lo_c"),
+            F.min(q(F.col("p_hi"))).alias("p_hi_c"),
+            F.sum(q(F.col("wv"))).cast("long").alias("wsum_c"),
+            F.sum(q(F.col("v"))).cast("long").alias("rsum_c"),
+        )
+    )

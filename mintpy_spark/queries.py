@@ -394,6 +394,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3f  # noqa: F401  (STL/logprob queries)
     import mintpy_spark.queries_r3g  # noqa: F401  (repetition/boilerplate queries)
     import mintpy_spark.queries_r3h  # noqa: F401  (substring-span dedup queries)
+    import mintpy_spark.queries_r3i  # noqa: F401  (curation/burst/winsorize queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -467,7 +468,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # doc_unigram_logprob, downsample_ltob_1d, drift_shingle_jaccard,
 # simsearch_sq_topk, source_dup_profile, stl_decompose_hourly,
 # temporal_filter_ewma, text_repetition_profile, tfidf_top_terms,
-# velocity_theilsen.
+# velocity_theilsen — plus the batch-i five: decontaminate_benchmark,
+# quality_gopher_flags, quality_gopher_by_source, burst_ratio_daily,
+# winsorized_daily_mean.
 
 
 def _ordered(d: dict) -> dict:
