@@ -80,3 +80,45 @@ def stratified_sample(
     for s, p in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == s, F.lit(int(p))).otherwise(rate)
     return df.withColumn(flag_col, b < rate)
+
+
+def quota_sample(
+    df: DataFrame,
+    key: str = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt: str = "quota",
+) -> DataFrame:
+    """Deterministic per-key quota sample: keep at most ``k`` rows per
+    key, chosen by ranking on the salted portable 60-bit hash of the id
+    (ties broken by id). The curation counterpart of the stratified
+    split: caps over-represented sources so no domain dominates a
+    training shard (the "source mixing" step every corpus recipe runs),
+    while the hash ranking makes membership (a) uniform, (b) stable
+    under re-runs and data re-partitioning, and (c) INDEPENDENT of the
+    split/sample decisions made with other salts.
+
+    Returns the kept rows: (key, id_col, rk) with rk in [1, k].
+
+    Plan shape: one hash Exchange on the key + a rank window — at
+    100 TB the pre-filter `row_number <= k` is the textbook top-k
+    window; a hot key still sorts its whole partition slice, so for
+    pathological skew the standard two-phase cheapening is a salted
+    pre-top-k (top-k within (key, salt-bucket), then top-k of the
+    k*B survivors) — decomposable because hash-rank top-k is a
+    min-heap merge. This exact one-pass form is the oracle baseline.
+    """
+    from pyspark.sql import Window
+
+    from mintpy_spark.functions.scalars import portable_hash60
+
+    h = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = Window.partitionBy(key).orderBy("_h", id_col)
+    return (
+        df.select(F.col(key), F.col(id_col), h.alias("_h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(key, id_col, F.col("rk").cast("int").alias("rk"))
+    )

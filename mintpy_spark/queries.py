@@ -395,6 +395,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3g  # noqa: F401  (repetition/boilerplate queries)
     import mintpy_spark.queries_r3h  # noqa: F401  (substring-span dedup queries)
     import mintpy_spark.queries_r3i  # noqa: F401  (curation/burst/winsorize queries)
+    import mintpy_spark.queries_r3j  # noqa: F401  (interval-join/quota-sample queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
