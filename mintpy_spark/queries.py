@@ -469,9 +469,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # doc_unigram_logprob, downsample_ltob_1d, drift_shingle_jaccard,
 # simsearch_sq_topk, source_dup_profile, stl_decompose_hourly,
 # temporal_filter_ewma, text_repetition_profile, tfidf_top_terms,
-# velocity_theilsen — plus the batch-i five: decontaminate_benchmark,
+# velocity_theilsen — plus the batch-i five (decontaminate_benchmark,
 # quality_gopher_flags, quality_gopher_by_source, burst_ratio_daily,
-# winsorized_daily_mean.
+# winsorized_daily_mean) and the batch-j two
+# (interval_join_session_errors, sample_source_quota).
 
 
 def _ordered(d: dict) -> dict:
