@@ -787,9 +787,23 @@ def duplicated_window_fraction(
     Reference parity: extends the engine per the build brief (dedup as a
     first-class component); no reference analog.
     """
+    pos = window_hash_positions(docs, id_col=id_col, text_col=text_col, k=k)
+    return _duplication_census(
+        pos, id_col, n_col="n_windows", dup_col="dup_windows"
+    )
+
+
+def _duplication_census(
+    pos: DataFrame, id_col: str, n_col: str, dup_col: str
+) -> DataFrame:
+    """Shared census tail of the span and CDC-chunk dedup operators:
+    given one (id, h) row per position, report per id the total
+    positions, positions whose h occurs >= 2 times corpus-wide, and the
+    floor-quantized basis-point fraction. One repartition on h (serves
+    both the (id, h) agg and the PARTITION BY h window-sum) + the final
+    per-id re-agg."""
     from pyspark.sql import Window
 
-    pos = window_hash_positions(docs, id_col=id_col, text_col=text_col, k=k)
     local = (
         pos.repartition("h")
         .groupBy(id_col, "h")
@@ -800,13 +814,13 @@ def duplicated_window_fraction(
     return (
         j.groupBy(id_col)
         .agg(
-            F.sum("c").cast("long").alias("n_windows"),
-            dup.cast("long").alias("dup_windows"),
+            F.sum("c").cast("long").alias(n_col),
+            dup.cast("long").alias(dup_col),
         )
         .withColumn(
             "dup_bp",
             F.floor(
-                F.col("dup_windows") * F.lit(10000.0) / F.col("n_windows")
+                F.col(dup_col) * F.lit(10000.0) / F.col(n_col)
                 + F.lit(0.5)
             ).cast("long"),
         )
@@ -838,6 +852,118 @@ def substring_spans_oracle_sql(
            CAST(SUM(c) AS BIGINT) AS n_windows,
            CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
              AS dup_windows,
+           CAST(floor(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) * 10000.0
+                      / SUM(c) + 0.5) AS BIGINT) AS dup_bp
+    FROM l JOIN t USING (h)
+    GROUP BY l.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 3, batch k): the storage-dedup
+# technique (Muthitacharoen et al. 2001, LBFS; rsync's rolling window)
+# applied to corpus text — chunk boundaries are picked by CONTENT
+# (token-hash condition), so an insertion/deletion only re-chunks its
+# local neighborhood, where fixed-k windows shift every downstream
+# window and fixed-size blocks shift every downstream block.
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window_mod: int = 8,
+) -> DataFrame:
+    """One row per content-defined chunk: (id_col, h). A token STARTS a
+    new chunk iff its 60-bit portable hash ≡ 0 (mod window_mod), giving
+    expected chunk length ``window_mod`` tokens; the first token always
+    starts chunk 0, so every non-empty document has >= 1 chunk. The
+    boundary array, chunk strings, and chunk hashes are all row-local
+    array expressions — nothing wider than (id, 16-byte hash) shuffles,
+    same discipline as window_hash_positions.
+
+    sequence(1, n-1) is guarded behind n >= 2 (Spark yields a
+    DESCENDING [1, 0] for n = 1, not an empty array)."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    t = docs.select(
+        F.col(id_col), nonempty_tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= 1)
+    n = F.size("_toks")
+    bounds = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.pmod(
+                token_hash(F.element_at(F.col("_toks"), i + 1)),
+                F.lit(window_mod),
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    t = t.withColumn("_b", bounds)
+    starts = F.concat(F.array(F.lit(0)), F.col("_b"))
+    ends = F.concat(F.col("_b"), F.array(n))
+    chunks = F.zip_with(
+        starts, ends,
+        lambda s, e: F.concat_ws(" ", F.slice(F.col("_toks"), s + 1, e - s)),
+    )
+    pos = t.select(F.col(id_col), F.explode(chunks).alias("_chunk"))
+    return pos.select(F.col(id_col), token_hash(F.col("_chunk")).alias("h"))
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window_mod: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-chunk census over content-defined chunks:
+    (id_col, n_chunks, dup_chunks, dup_bp) where a chunk position counts
+    as duplicated iff its chunk string occurs >= 2 times anywhere in the
+    corpus. Same single-repartition census tail as the fixed-k span
+    operator (see _duplication_census / duplicated_window_fraction scale
+    notes); the explode factor is ~n_tokens/window_mod rows per document
+    — window_mod times CHEAPER than the span census, the standard
+    trade: CDC detects shared blocks, spans detect any shared k-gram."""
+    pos = cdc_chunk_positions(
+        docs, id_col=id_col, text_col=text_col, window_mod=window_mod
+    )
+    return _duplication_census(
+        pos, id_col, n_col="n_chunks", dup_col="dup_chunks"
+    )
+
+
+def cdc_chunk_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    window_mod: int = 8,
+) -> str:
+    """DuckDB twin of cdc_chunk_dedup — identical tokenizer, identical
+    boundary rule (60-bit md5 hash of the token, mod window_mod),
+    identical chunk strings and census."""
+    return f"""
+    WITH w AS (
+      SELECT {id_col},
+             list_filter(string_split({text_col}, ' '), t -> t <> '') AS toks
+      FROM {table}),
+    c AS (
+      SELECT {id_col}, toks, len(toks) AS n,
+             [i FOR i IN range(2, len(toks) + 1)
+                IF ('0x' || substring(md5(toks[i]), 1, 15))::BIGINT
+                   % {window_mod} = 0] AS b
+      FROM w WHERE len(toks) >= 1),
+    s AS (
+      SELECT {id_col},
+             unnest(list_transform(
+               list_zip([1]::BIGINT[] || b, b || [n + 1]::BIGINT[]),
+               p -> array_to_string(toks[p[1] : p[2] - 1], ' '))) AS chunk
+      FROM c),
+    pos AS (
+      SELECT {id_col},
+             ('0x' || substring(md5(chunk), 1, 15))::BIGINT AS h
+      FROM s),
+    l AS (SELECT {id_col}, h, COUNT(*) AS c FROM pos GROUP BY {id_col}, h),
+    t AS (SELECT h, SUM(c) AS tot FROM l GROUP BY h)
+    SELECT l.{id_col},
+           CAST(SUM(c) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
            CAST(floor(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) * 10000.0
                       / SUM(c) + 0.5) AS BIGINT) AS dup_bp
     FROM l JOIN t USING (h)

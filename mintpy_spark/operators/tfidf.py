@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 
 # One-slot persisted posting-list cache (plans/cache.py discipline).
 _POSTING_SLOT: list = []
+# One-slot persisted bigram-vocabulary cache (pmi_top_pairs).
+_PAIR_SLOT: list = []
 
 
 def tfidf_top_terms(
@@ -150,3 +152,88 @@ def unigram_logprob(
         F.col("n_tokens").cast("double") * F.lit(1000000.0)
     )
     return agg.select(id_col, "n_tokens", F.round(score, 4).alias("logprob"))
+
+
+def pmi_top_pairs(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Collocation extraction: top-k adjacent-token bigrams by PMI
+    (pointwise mutual information, Church & Hanks 1990) — the phrase
+    mining step a corpus pipeline runs to find multiword expressions
+    worth single-token treatment.
+
+    Ranking is INTEGER-exact: since PMI = log(c_ab * N_u^2 /
+    (N_b * c_a * c_b)) and (N_u, N_b) are corpus constants, ranking by
+    PMI is ranking by c_ab / (c_a * c_b). The engine ranks on
+    score = (c_ab * 10^12) div (c_a * c_b) — integer division, exact in
+    both Spark (`div`) and DuckDB (`//`), no libm log at the ranking
+    boundary — with (tok_a, tok_b) as the deterministic tie-break.
+    (c_ab <= 10^6 even at 10^12 docs only if capped; headroom: the
+    int64 limit allows c_ab up to ~9.2e6 at this quantizer — rescale
+    the constant per corpus size; min_pair_count keeps the classic
+    PMI rare-pair artifact bounded.)
+
+    Plan shape: ONE bigram explode (row-local slice/zip of the token
+    array) -> hash agg to the bigram vocabulary; unigram counts are a
+    re-aggregation of the same exploded rows; both joins are
+    vocabulary-sized (Heaps' law) and broadcast-eligible. Final top-k
+    is a single ORDER BY ... LIMIT over the (tiny) filtered pair
+    vocabulary.
+    """
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    t = docs.select(nonempty_tokens(text_col).alias("_toks")).where(
+        F.size("_toks") >= 2
+    )
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", 1, F.size("_toks") - 1),
+                F.slice("_toks", 2, F.size("_toks") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    from mintpy_spark.plans.cache import persist_slot
+
+    # ONE corpus explode: the bigram vocabulary is persisted (one-slot
+    # cache, plans/cache.py discipline) and every downstream consumer —
+    # the pair filter and BOTH unigram re-aggregations — reads the
+    # vocabulary-sized table, never the corpus again.
+    pair_c = persist_slot(
+        pairs.groupBy("tok_a", "tok_b").agg(
+            F.count(F.lit(1)).alias("c_ab")
+        ),
+        _PAIR_SLOT,
+    )
+    # NOTE: unigram counts are *positional* counts over the bigram
+    # stream (each interior token counted twice, ends once), aggregated
+    # from the pair vocabulary rather than the corpus — the convention
+    # is applied identically in the oracle, and constants cancel in the
+    # ranking.
+    uni = (
+        pair_c.select(F.col("tok_a").alias("tok"), "c_ab")
+        .unionAll(pair_c.select(F.col("tok_b").alias("tok"), "c_ab"))
+        .groupBy("tok")
+        .agg(F.sum("c_ab").alias("cu"))
+    )
+    j = (
+        pair_c.where(F.col("c_ab") >= min_pair_count)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "tok_a")
+                          .withColumnRenamed("cu", "c_a")), "tok_a")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "tok_b")
+                          .withColumnRenamed("cu", "c_b")), "tok_b")
+    )
+    score = F.expr("(c_ab * 1000000000000) div (c_a * c_b)")
+    return (
+        j.select(
+            "tok_a", "tok_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            score.cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "tok_a", "tok_b")
+        .limit(top_k)
+    )
