@@ -397,6 +397,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3i  # noqa: F401  (curation/burst/winsorize queries)
     import mintpy_spark.queries_r3j  # noqa: F401  (interval-join/quota-sample queries)
     import mintpy_spark.queries_r3k  # noqa: F401  (forecast/PMI/CDC queries)
+    import mintpy_spark.queries_r3l  # noqa: F401  (quality-aware keeper query)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -474,7 +475,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # quality_gopher_flags, quality_gopher_by_source, burst_ratio_daily,
 # winsorized_daily_mean) and the batch-j two
 # (interval_join_session_errors, sample_source_quota) and the batch-k
-# three (forecast_snaive_mase, text_pmi_top_pairs, dedup_cdc_chunks).
+# three (forecast_snaive_mase, text_pmi_top_pairs, dedup_cdc_chunks)
+# and batch-l's dedup_keeper_best_quality.
 
 
 def _ordered(d: dict) -> dict:
