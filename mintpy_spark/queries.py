@@ -398,6 +398,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3j  # noqa: F401  (interval-join/quota-sample queries)
     import mintpy_spark.queries_r3k  # noqa: F401  (forecast/PMI/CDC queries)
     import mintpy_spark.queries_r3l  # noqa: F401  (quality-aware keeper query)
+    import mintpy_spark.queries_r3m  # noqa: F401  (PII/entropy/xcorr queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -476,7 +477,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # winsorized_daily_mean) and the batch-j two
 # (interval_join_session_errors, sample_source_quota) and the batch-k
 # three (forecast_snaive_mase, text_pmi_top_pairs, dedup_cdc_chunks)
-# and batch-l's dedup_keeper_best_quality.
+# and batch-l's dedup_keeper_best_quality and the batch-m three
+# (text_pii_scrub_stats, text_token_entropy, xcorr_daily_lag).
 
 
 def _ordered(d: dict) -> dict:
