@@ -84,3 +84,93 @@ def snaive_mase_daily(
             mase,
         ).alias("mase_bp"),
     )
+
+
+HOLT_SCHEMA = (
+    "key string, n_train long, n_test long, l_end_micro long, b_end_micro long,"
+    " denom long, sum_abs_err_micro long, mase_micro long"
+)
+
+
+def holt_linear_mase_daily(
+    events: DataFrame, key: str = "event_type", ts: str = "ts",
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) forecast skill on
+    the 1d count tier, scored by MASE on the last ``horizon`` days.
+
+    The level/trend recursion (Holt 1957; Hyndman & Athanasopoulos,
+    "Forecasting: Principles and Practice", ch. 8.1) runs per key over the
+    train split (all but the last ``horizon`` observed days):
+
+        l_2 = y_2,  b_2 = y_2 - y_1
+        l_t = 0.5*y_t + 0.5*(l_{t-1} + b_{t-1})          (alpha = 1/2)
+        b_t = 0.25*(l_t - l_{t-1}) + 0.75*b_{t-1}         (gamma = 1/4)
+        forecast(h) = l_T + h * b_T
+
+    Smoothing constants are DYADIC rationals written identically in the
+    engine and the oracle, and every recursion step is the same IEEE
+    double expression tree, so the state is bit-identical between this
+    applyInPandas fold (plain Python floats) and a DuckDB recursive CTE —
+    an iterative algorithm that still hash-matches a SQL oracle. Forecast
+    errors are micro-quantized per horizon step BEFORE summation (integer
+    sums, order-free); the MASE denominator (in-sample naive-1 error) is
+    a pure integer sum.
+
+    Scale shape: the daily agg shuffles once on (key, day); the fold is
+    applyInPandas over per-key groups — O(days) state, millions of keys
+    parallelize across executors (same shape as operators/timefunc.py).
+    Keys with fewer than horizon + 2 observed days are dropped (the
+    recursion needs 2 train points).
+    """
+    import math
+
+    import pandas as pd
+
+    day = F.date_trunc("day", F.col(ts).cast("timestamp"))
+    daily = (
+        events.groupBy(F.col(key).alias("key"), day.alias("bucket_day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+
+    h_n = int(horizon)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_day").reset_index(drop=True)
+        y = [int(v) for v in pdf["y"]]
+        n = len(y)
+        n_train = n - h_n
+        if n_train < 2:
+            return pd.DataFrame(
+                columns=["key", "n_train", "n_test", "l_end_micro",
+                         "b_end_micro", "denom", "sum_abs_err_micro",
+                         "mase_micro"])
+        l = float(y[1])
+        b = float(y[1] - y[0])
+        for t in range(2, n_train):
+            l_new = 0.5 * y[t] + 0.5 * (l + b)
+            b_new = 0.25 * (l_new - l) + 0.75 * b
+            l, b = l_new, b_new
+        denom = sum(abs(y[t] - y[t - 1]) for t in range(1, n_train))
+        s_err = 0
+        for h in range(1, h_n + 1):
+            f = l + float(h) * b
+            s_err += int(math.floor(abs(float(y[n_train + h - 1]) - f) * 1e6 + 0.5))
+        if denom > 0:
+            mase = int(math.floor(
+                (float(s_err) * float(n_train - 1))
+                / (float(h_n) * float(denom) * 1e6) * 1e6 + 0.5))
+        else:
+            mase = None
+        return pd.DataFrame([{
+            "key": pdf["key"].iloc[0],
+            "n_train": n_train,
+            "n_test": h_n,
+            "l_end_micro": int(math.floor(l * 1e6 + 0.5)),
+            "b_end_micro": int(math.floor(b * 1e6 + 0.5)),
+            "denom": denom,
+            "sum_abs_err_micro": s_err,
+            "mase_micro": mase,
+        }])
+
+    return daily.groupBy("key").applyInPandas(fold, HOLT_SCHEMA)

@@ -399,6 +399,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3k  # noqa: F401  (forecast/PMI/CDC queries)
     import mintpy_spark.queries_r3l  # noqa: F401  (quality-aware keeper query)
     import mintpy_spark.queries_r3m  # noqa: F401  (PII/entropy/xcorr queries)
+    import mintpy_spark.queries_r3n  # noqa: F401  (Holt/funnel/median queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -478,7 +479,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (interval_join_session_errors, sample_source_quota) and the batch-k
 # three (forecast_snaive_mase, text_pmi_top_pairs, dedup_cdc_chunks)
 # and batch-l's dedup_keeper_best_quality and the batch-m three
-# (text_pii_scrub_stats, text_token_entropy, xcorr_daily_lag).
+# (text_pii_scrub_stats, text_token_entropy, xcorr_daily_lag) and the
+# batch-n three (forecast_holt_mase, funnel_3step,
+# temporal_filter_runmedian).
 
 
 def _ordered(d: dict) -> dict:
