@@ -66,6 +66,11 @@ HEADLINE = [
     # the 14 entries above stay stable for round-over-round comparison
     "network_inversion",
     "tier_refresh_incremental_1d",
+    # round 3 batch-h/i additions: the heaviest corpus-census path (one
+    # scan + two Exchanges over the token-window explode) and the
+    # decontamination broadcast join
+    "dedup_substring_spans",
+    "decontaminate_benchmark",
 ]
 
 
@@ -232,7 +237,10 @@ def main() -> None:
     scaling = None
     if os.environ.get("BENCH_SCALING", "1") != "0":
         scaling = bench_scaling()
-    queries = bench_queries()
+    # BENCH_QUERIES=0 skips the per-query sweep (isolated scaling reruns)
+    queries = {}
+    if os.environ.get("BENCH_QUERIES", "1") != "0":
+        queries = bench_queries()
     payload = {
         "metric": "rolled-up points/sec through 3-tier rollup (scaling: local[N] vs local[4N])",
         "unit": "sec",

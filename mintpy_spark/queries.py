@@ -401,6 +401,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3m  # noqa: F401  (PII/entropy/xcorr queries)
     import mintpy_spark.queries_r3n  # noqa: F401  (Holt/funnel/median queries)
     import mintpy_spark.queries_r3o  # noqa: F401  (index/SCD2/cohort queries)
+    import mintpy_spark.queries_r3p  # noqa: F401  (align/profile/month queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
