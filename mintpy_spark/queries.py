@@ -483,7 +483,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # and batch-l's dedup_keeper_best_quality and the batch-m three
 # (text_pii_scrub_stats, text_token_entropy, xcorr_daily_lag) and the
 # batch-n three (forecast_holt_mase, funnel_3step,
-# temporal_filter_runmedian).
+# temporal_filter_runmedian) and the batch-o three (index_postings_stats,
+# scd2_snapshot, cohort_retention_weekly) and the batch-p three
+# (series_align_locf, profile_events_columns, olap_monthly_orders).
 
 
 def _ordered(d: dict) -> dict:

@@ -6,7 +6,7 @@ exact rolling median temporal filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mintpy_spark.queries import _q, load
@@ -131,49 +131,43 @@ def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Step semantics are sequential minima: ts1 = first click, ts2 = first
     view AFTER ts1, ts3 = first purchase AFTER ts2; plus the summed
     click->purchase conversion time over completers (exact integer
-    microseconds). Plan: three hash-aggs chained by user_id equi-joins —
-    each stage's join key is the previous agg's grouping key, so on
-    url/user-bucketed tables the chain runs shuffle-free."""
+    microseconds). Plan: ONE scan and ONE user_id shuffle — the three
+    dependent minima chain as whole-partition windows over the SAME
+    partitioning (ts2's predicate reads ts1's window column, so each step
+    sees the previous step's result without a join), then a groupBy on
+    the window key reuses the clustering and a final scalar agg reduces
+    one row per user. The oracle's join-chain spelling is the proof the
+    single-pass form is exact."""
     ev = load(spark, sf_dir, "events")
-    t1 = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts1"))
-    )
-    t2 = (
-        ev.where(F.col("event_type") == "view")
-        .join(t1, "user_id")
-        .where(F.col("ts") > F.col("ts1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts2"))
-    )
-    t3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .where(F.col("ts") > F.col("ts2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts3"))
-    )
-    conv = t3.join(t1, "user_id").select(
-        (
-            F.unix_micros(F.col("ts3").cast("timestamp"))
-            - F.unix_micros(F.col("ts1").cast("timestamp"))
-        ).alias("dur")
-    )
-    return (
-        ev.agg(F.countDistinct("user_id").cast("long").alias("users"))
-        .crossJoin(F.broadcast(t1.agg(F.count("*").alias("step1_click"))))
-        .crossJoin(F.broadcast(t2.agg(F.count("*").alias("step2_view"))))
-        .crossJoin(F.broadcast(t3.agg(F.count("*").alias("step3_purchase"))))
-        .crossJoin(
-            F.broadcast(
-                conv.agg(
-                    F.coalesce(F.sum("dur"), F.lit(0))
-                    .cast("long")
-                    .alias("conv_us_total")
-                )
-            )
+    w = Window.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    per_row = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("ts1", F.min(F.when(et == "click", ts)).over(w))
+        .withColumn(
+            "ts2", F.min(F.when((et == "view") & (ts > F.col("ts1")), ts)).over(w)
         )
+        .withColumn(
+            "ts3",
+            F.min(F.when((et == "purchase") & (ts > F.col("ts2")), ts)).over(w),
+        )
+    )
+    per_user = per_row.groupBy("user_id").agg(
+        F.first("ts1").alias("ts1"),
+        F.first("ts2").alias("ts2"),
+        F.first("ts3").alias("ts3"),
+    )
+    dur = F.unix_micros(F.col("ts3").cast("timestamp")) - F.unix_micros(
+        F.col("ts1").cast("timestamp")
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("users"),
+        F.count("ts1").cast("long").alias("step1_click"),
+        F.count("ts2").cast("long").alias("step2_view"),
+        F.count("ts3").cast("long").alias("step3_purchase"),
+        F.coalesce(F.sum(F.when(F.col("ts3").isNotNull(), dur)), F.lit(0))
+        .cast("long")
+        .alias("conv_us_total"),
     )
 
 
