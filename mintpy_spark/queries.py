@@ -402,6 +402,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3n  # noqa: F401  (Holt/funnel/median queries)
     import mintpy_spark.queries_r3o  # noqa: F401  (index/SCD2/cohort queries)
     import mintpy_spark.queries_r3p  # noqa: F401  (align/profile/month queries)
+    import mintpy_spark.queries_r3q  # noqa: F401  (SAX/kNN/Benford queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -485,7 +486,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # batch-n three (forecast_holt_mase, funnel_3step,
 # temporal_filter_runmedian) and the batch-o three (index_postings_stats,
 # scd2_snapshot, cohort_retention_weekly) and the batch-p three
-# (series_align_locf, profile_events_columns, olap_monthly_orders).
+# (series_align_locf, profile_events_columns, olap_monthly_orders) and
+# the batch-q three (sax_motif_words, knn_label_accuracy,
+# benford_first_digit).
 
 
 def _ordered(d: dict) -> dict:
