@@ -403,6 +403,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3o  # noqa: F401  (index/SCD2/cohort queries)
     import mintpy_spark.queries_r3p  # noqa: F401  (align/profile/month queries)
     import mintpy_spark.queries_r3q  # noqa: F401  (SAX/kNN/Benford queries)
+    import mintpy_spark.queries_r3r  # noqa: F401  (diff/silhouette/twm queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -488,7 +489,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # scd2_snapshot, cohort_retention_weekly) and the batch-p three
 # (series_align_locf, profile_events_columns, olap_monthly_orders) and
 # the batch-q three (sax_motif_words, knn_label_accuracy,
-# benford_first_digit).
+# benford_first_digit) and the batch-r three (tier_snapshot_diff,
+# embedding_label_silhouette, time_weighted_median).
 
 
 def _ordered(d: dict) -> dict:
