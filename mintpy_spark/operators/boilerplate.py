@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 
 from mintpy_spark.functions.scalars import portable_hash60
 
+# One-slot persisted hashed-lines cache (plans/cache.py discipline):
+# boilerplate_coverage's two consumers (posting list + per-doc join)
+# share ONE line explode + hash pass through it.
+_LINED_SLOT: list = []
+
 
 def doc_lines(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -84,13 +89,28 @@ def boilerplate_coverage(
     are excluded (coverage undefined).
 
     boiler_frac = n_boiler / n_lines over the document's non-empty
-    lines; exact integer counts, one float division at the end."""
-    lined = doc_lines(docs, text_col, id_col, group).select(
-        group, id_col, portable_hash60(F.col("line")).alias("line_hash")
+    lines; exact integer counts, one float division at the end.
+
+    The corpus is exploded and hashed ONCE: the hashed-line table is
+    persisted (one-slot cache) and both the boilerplate posting list
+    (df >= min_docs) and the per-doc coverage join read it — the line
+    explode is the dominant row-multiplying stage, so running it twice
+    (as calling boilerplate_lines here would) doubles corpus-scale
+    work for no reason."""
+    from mintpy_spark.plans.cache import persist_slot
+
+    lined = persist_slot(
+        doc_lines(docs, text_col, id_col, group).select(
+            group, id_col, portable_hash60(F.col("line")).alias("line_hash")
+        ),
+        _LINED_SLOT,
     )
-    boiler = boilerplate_lines(
-        docs, text_col, id_col, group, min_docs
-    ).select(group, "line_hash", F.lit(True).alias("_is_boiler"))
+    boiler = (
+        lined.groupBy(group, "line_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select(group, "line_hash", F.lit(True).alias("_is_boiler"))
+    )
     j = lined.join(F.broadcast(boiler), [group, "line_hash"], "left")
     return (
         j.groupBy(group, id_col)

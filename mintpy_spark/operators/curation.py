@@ -151,7 +151,8 @@ def _gopher_flag_cols(
     * flag_mwl    — mean word length in [3, 10] chars
                     (3*n <= sum_len <= 10*n)
     * flag_symbol — symbol-to-word ratio ('#' and '...') <= 0.1
-                    (10*symbols <= n)
+                    (10*(3*n_hash + n_ell3) <= 3*n, ellipses counted
+                    as the undivided 3-char length delta)
     * flag_alpha  — >= 80 % of words contain an alphabetic character
                     (5*alpha_words >= 4*n)
     * flag_stop   — contains >= 2 distinct Gopher stop words
@@ -161,9 +162,13 @@ def _gopher_flag_cols(
         F.transform("_toks", F.length), F.lit(0), lambda a, x: a + x
     )
     n_hash = F.length(text_col) - F.length(F.replace(text_col, F.lit("#")))
-    n_ell = (
+    # length delta of stripping '...' = 3 * ellipsis count; kept
+    # UNdivided so flag_symbol stays in integer arithmetic (the /3
+    # form crosses a double compare): 10*(#+…) <= n becomes
+    # 10*(3*n_hash + n_ell3) <= 3*n.
+    n_ell3 = (
         F.length(text_col) - F.length(F.replace(text_col, F.lit("...")))
-    ) / F.lit(3)
+    )
     alpha = F.size(F.filter("_toks", lambda t: t.rlike("[a-zA-Z]")))
     stop_n = sum(
         (
@@ -179,7 +184,7 @@ def _gopher_flag_cols(
         "flag_mwl": (
             (sum_len >= 3 * n) & (sum_len <= 10 * n)
         ).cast("int"),
-        "flag_symbol": ((10 * (n_hash + n_ell) <= n)).cast("int"),
+        "flag_symbol": ((10 * (3 * n_hash + n_ell3) <= 3 * n)).cast("int"),
         "flag_alpha": ((5 * alpha >= 4 * n)).cast("int"),
         "flag_stop": (stop_n >= 2).cast("int"),
     }
@@ -231,7 +236,7 @@ def gopher_flags_oracle_sql(
              COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)
                AS sum_len,
              len(txt) - len(replace(txt, '#', '')) AS n_hash,
-             (len(txt) - len(replace(txt, '...', ''))) / 3.0 AS n_ell,
+             len(txt) - len(replace(txt, '...', '')) AS n_ell3,
              len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
                AS alpha,
              ({stop_sum}) AS stop_n
@@ -241,7 +246,7 @@ def gopher_flags_oracle_sql(
            CAST(stop_n AS INT) AS n_stop,
            CAST(n >= {min_words} AND n <= {max_words} AS INT) AS flag_wc,
            CAST(sum_len >= 3 * n AND sum_len <= 10 * n AS INT) AS flag_mwl,
-           CAST(10 * (n_hash + n_ell) <= n AS INT) AS flag_symbol,
+           CAST(10 * (3 * n_hash + n_ell3) <= 3 * n AS INT) AS flag_symbol,
            CAST(5 * alpha >= 4 * n AS INT) AS flag_alpha,
            CAST(stop_n >= 2 AS INT) AS flag_stop,
            CAST(flag_wc * flag_mwl * flag_symbol * flag_alpha * flag_stop
@@ -310,7 +315,7 @@ def gopher_by_source_oracle_sql(
              COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)
                AS sum_len,
              len(txt) - len(replace(txt, '#', '')) AS n_hash,
-             (len(txt) - len(replace(txt, '...', ''))) / 3.0 AS n_ell,
+             len(txt) - len(replace(txt, '...', '')) AS n_ell3,
              len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
                AS alpha,
              ({stop_sum}) AS stop_n
@@ -319,7 +324,7 @@ def gopher_by_source_oracle_sql(
       SELECT src,
              CAST(n >= {min_words} AND n <= {max_words} AS INT) AS flag_wc,
              CAST(sum_len >= 3 * n AND sum_len <= 10 * n AS INT) AS flag_mwl,
-             CAST(10 * (n_hash + n_ell) <= n AS INT) AS flag_symbol,
+             CAST(10 * (3 * n_hash + n_ell3) <= 3 * n AS INT) AS flag_symbol,
              CAST(5 * alpha >= 4 * n AS INT) AS flag_alpha,
              CAST(stop_n >= 2 AS INT) AS flag_stop
       FROM s)

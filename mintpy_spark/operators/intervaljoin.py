@@ -34,26 +34,27 @@ same result by construction, containment distributes over the split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _US = 1_000_000
 
 
-def bucketed_interval_join(
+def _raw_bucket_join(
     intervals: DataFrame,
     points: DataFrame,
-    start: str = "session_start",
-    end: str = "session_end",
-    ts: str = "ts",
-    bucket_seconds: int = 3600,
-    how: str = "inner",
-) -> DataFrame:
-    """Join every point row to every interval row with
-    start <= ts <= end (inclusive both ends), via the bucket-explode
-    equi-join above. Returns intervals' columns + points' columns
-    (bucket helper columns dropped). ``how='left'`` keeps empty
-    intervals (point columns NULL)."""
+    start: str,
+    end: str,
+    ts: str,
+    bucket_seconds: int,
+    how: str,
+):
+    """Per-bucket join, PRE-dedup: under ``how='left'`` every interval
+    bucket with no contained point emits its own (interval, NULL) row —
+    up to duration/width NULL rows per empty interval. Safe only for
+    consumers that both ignore NULLs and merge buckets per interval
+    (e.g. a count/sum re-agg); everything else wants the public wrapper
+    below, which restores exact SQL left-join arity."""
     w = int(bucket_seconds) * _US
     iv = intervals.withColumn(
         "_b",
@@ -72,7 +73,41 @@ def bucketed_interval_join(
         & (pt[ts] >= iv[start])
         & (pt[ts] <= iv[end])
     )
-    out = iv.join(pt, cond, how)
+    return iv.join(pt, cond, how), iv, pt, w
+
+
+def bucketed_interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start: str = "session_start",
+    end: str = "session_end",
+    ts: str = "ts",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point row to every interval row with
+    start <= ts <= end (inclusive both ends), via the bucket-explode
+    equi-join above. Returns intervals' columns + points' columns
+    (bucket helper columns dropped). ``how='left'`` keeps empty
+    intervals with exact SQL left-join arity: ONE (interval, NULL) row
+    per interval row with zero matches, none for intervals that
+    matched. The dedup is a window count over the interval's own
+    columns (identical duplicate interval rows merge harmlessly — they
+    match identical point sets, and each still contributes its own
+    first-bucket NULL row), keeping matched rows plus the unmatched
+    first-bucket row only when the whole interval saw no point."""
+    out, iv, pt, w = _raw_bucket_join(
+        intervals, points, start, end, ts, bucket_seconds, how
+    )
+    if how == "left":
+        win = Window.partitionBy(*[iv[c] for c in intervals.columns])
+        first_b = F.floor(
+            F.unix_micros(iv[start].cast("timestamp")) / w
+        )
+        out = out.withColumn("_nm", F.count(pt[ts]).over(win)).where(
+            pt[ts].isNotNull()
+            | ((F.col("_nm") == 0) & (iv["_b"] == first_b))
+        ).drop("_nm")
     return out.drop(iv["_b"]).drop(pt["_b"])
 
 
@@ -90,11 +125,15 @@ def interval_point_counts(
     ``keys`` carries the intervals' identity columns through the
     aggregation (two intervals with identical (keys, start, end) would
     merge — pass enough keys to make intervals distinct).
-    One bucket-hash-join Exchange + one re-agg on the interval key."""
-    j = bucketed_interval_join(
-        intervals, points, start=start, end=end, ts=ts,
-        bucket_seconds=bucket_seconds, how="left",
+    One bucket-hash-join Exchange + one re-agg on the interval key:
+    this deliberately uses the RAW per-bucket left join (count() skips
+    the per-empty-bucket NULL rows and the groupBy merges an interval's
+    buckets), skipping the arity-restoring window the public join
+    needs."""
+    j, iv, pt, _ = _raw_bucket_join(
+        intervals, points, start, end, ts, bucket_seconds, "left"
     )
+    j = j.drop(iv["_b"]).drop(pt["_b"])
     return (
         j.groupBy(*keys, start, end)
         .agg(F.count(F.col(ts)).cast("long").alias("n_inside"))

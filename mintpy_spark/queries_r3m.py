@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mintpy_spark.functions.scalars import nonempty_tokens
 from mintpy_spark.operators import pii as P
 from mintpy_spark.queries import _q, load
 
@@ -152,7 +153,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "source",
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+        F.explode(nonempty_tokens(F.col("text"))).alias("tok"),
     )
     tc = toks.groupBy("doc_id", "source", "tok").agg(F.count("*").alias("c"))
     tc = tc.withColumn(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mintpy_spark.functions.scalars import nonempty_tokens
 from mintpy_spark.queries import _q, load
 
 _SNAP_TS = "2024-01-15 00:00:00"
@@ -54,7 +55,7 @@ def index_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+        F.explode(nonempty_tokens(F.col("text"))).alias("tok"),
     )
     occ = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("occ"))
     ids = F.concat_ws(

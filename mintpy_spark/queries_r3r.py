@@ -26,6 +26,7 @@ from mintpy_spark.queries import _q, load
     """
     WITH bounds AS (
       SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+      WHERE value IS NOT NULL
     ), cutoff AS (
       SELECT CAST(lo + floor((hi - lo) * 9.0 / 10.0) AS BIGINT) AS cut
       FROM bounds
@@ -73,9 +74,12 @@ def tier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle form). No bucket ever shrinks (append-only input), so a LEFT
     join from the new snapshot is exact.
 
-    The cutoff derives from integer epoch-µs bounds with one identical
-    float expression per engine (floor((hi-lo)*9.0/10.0)); all compared
-    quantities are BIGINTs. Plan: two pruned scans aggregated with
+    The cutoff derives from integer epoch-µs bounds of the SAME
+    NULL-filtered observation set that feeds the tiers (both engines
+    filter before the bounds agg, so a NULL-value straggler cannot move
+    the cutoff on one side only) with one identical float expression per
+    engine (floor((hi-lo)*9.0/10.0)); all compared quantities are
+    BIGINTs. Plan: two pruned scans aggregated with
     map-side partials, a partial-sized join on (user, day), one tiny
     day-level agg; the 1-row cutoff table broadcasts."""
     ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
