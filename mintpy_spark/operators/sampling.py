@@ -14,7 +14,7 @@ the caller aggregates); rates are per-stratum via a broadcast map.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -121,4 +121,69 @@ def quota_sample(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(key, id_col, F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: priority
+    sampling (Duffield, Lund & Thorup, JACM 2007 — public literature).
+    Each row gets priority q = w / u with u = (h+1)/2^60 a stable
+    uniform from the portable id hash; the k highest-priority rows per
+    group are the sample, and est_w = max(w, tau) (tau = the (k+1)-th
+    priority) is the Horvitz-Thompson-style weight estimator whose
+    per-subset sums are unbiased. Groups with <= k rows return whole
+    (tau undefined -> est_w = w exactly).
+
+    Determinism & parity: u is hash-derived (reruns/resumes/cluster
+    sizes agree; the same rows sample in any engine), and q uses ONLY
+    multiply/divide on doubles — IEEE-exact-rounded, bit-identical in
+    Spark, DuckDB and NumPy (no exp/log/pow whose libm rounding could
+    flip a rank at the k boundary). Ties break on id.
+
+    Plan: one projection + one window rank per group — a single
+    Exchange on the group key; at 10^12 rows this is the standard
+    "sample each stratum's top-k by priority" shape (per-group top-k
+    pushes partial TopK under the shuffle via the rank filter)."""
+    from mintpy_spark.functions.scalars import portable_hash60
+
+    s = F.col(id_col).cast("string")
+    if salt:
+        s = F.concat(s, F.lit(":" + salt))
+    # q = w * 2^60 / (h+1): double multiply + divide only (see above)
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(float(2**60))
+        / (portable_hash60(s) + F.lit(1)).cast("double")
+    )
+    w_ord = Window.partitionBy(*group_cols).orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = (
+        df.withColumn("_q", q)
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn(
+            "_tau",
+            F.max(F.when(F.col("_rn") == k + 1, F.col("_q"))).over(w_all),
+        )
+    )
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .select(
+            *group_cols,
+            id_col,
+            F.col(weight_col),
+            F.col("_rn").alias("rank"),
+            F.greatest(
+                F.col(weight_col).cast("double"),
+                F.coalesce(F.col("_tau"), F.lit(0.0)),
+            ).alias("est_w"),
+        )
     )

@@ -123,3 +123,107 @@ def kmv_estimate(sketch_df: DataFrame, k: int = 32) -> DataFrame:
         kth.alias("kth_min"),
         est.alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch tier
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_bucket(col: Column, row: Column, width: int = CMS_WIDTH) -> Column:
+    """Bucket of item ``col`` under hash row ``row`` (int column):
+    portable md5 hash of ``item|row`` mod width. Engine-portable —
+    DuckDB: ``('0x' || substring(md5(x || '|' || r), 1, 15))::BIGINT %
+    width`` (the hash is non-negative, so % == pmod)."""
+    return F.pmod(
+        portable_hash(
+            F.concat(col.cast("string"), F.lit("|"), row.cast("string"))
+        ),
+        F.lit(int(width)),
+    )
+
+
+def cms_tier(
+    items: DataFrame,
+    item_col: str,
+    key_cols: tuple[str, ...] = (),
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-key Count-Min sketch (Cormode & Muthukrishnan 2005, public
+    literature) of item frequencies: (key..., r, bucket, cnt) with one
+    row per non-empty counter — the sparse representation of the d×w
+    counter matrix.
+
+    Like the KMV and histogram tiers, the sketch is LOSS-FREE mergeable
+    (counters are sums: coarse tiers sum fine-tier counters — see
+    cms_merge), and the estimate for any item is
+    ``min over r of counter[r][h_r(item)]`` — an overestimate, never an
+    under-estimate, with the classic (eps = e/w, delta = e^-d)
+    guarantee. Order-independent (unlike Misra-Gries), so it is
+    oracle-checkable bit-for-bit in any engine with the same md5 hash.
+
+    Plan: one row-local d-way explode over the item stream, then a hash
+    agg on (key, r, bucket) — map-side combine collapses the stream to
+    at most d·w rows per key before the Exchange, so sketch build cost
+    is one narrow shuffle of bounded width regardless of corpus size
+    (the point of a sketch at 10^12 tokens)."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(int(depth))])
+    ).alias("r")
+    exploded = items.select(*key_cols, F.col(item_col), rows)
+    return (
+        exploded.groupBy(
+            *key_cols,
+            "r",
+            cms_bucket(F.col(item_col), F.col("r"), width).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(
+    sketches: DataFrame, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketches sharing (r, bucket) by summing counters — the
+    tier-cascade step (1h sketches -> 1d sketch without raw data)."""
+    return (
+        sketches.groupBy(*key_cols, "r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    key_cols: tuple[str, ...] = (),
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` (one row per (key...,
+    item)): (key..., item, est) with est = min over rows of the matching
+    counter; an absent counter is an exact 0 (the min annihilates).
+
+    The probe side is tiny by construction (a watchlist, not the
+    corpus), so its d-way explode broadcasts into the sketch join; one
+    small re-agg computes the min."""
+    pr = probes.select(
+        *key_cols,
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(r) for r in range(int(depth))])).alias(
+            "r"
+        ),
+    ).withColumn("bucket", cms_bucket(F.col(item_col), F.col("r"), width))
+    j = pr.join(sketch, [*key_cols, "r", "bucket"], "left")
+    return (
+        j.groupBy(*key_cols, item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )

@@ -404,6 +404,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3p  # noqa: F401  (align/profile/month queries)
     import mintpy_spark.queries_r3q  # noqa: F401  (SAX/kNN/Benford queries)
     import mintpy_spark.queries_r3r  # noqa: F401  (diff/silhouette/twm queries)
+    import mintpy_spark.queries_r3s  # noqa: F401  (CMS/priority-sample/Zipf queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
