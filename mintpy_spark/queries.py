@@ -491,7 +491,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (series_align_locf, profile_events_columns, olap_monthly_orders) and
 # the batch-q three (sax_motif_words, knn_label_accuracy,
 # benford_first_digit) and the batch-r three (tier_snapshot_diff,
-# embedding_label_silhouette, time_weighted_median).
+# embedding_label_silhouette, time_weighted_median) and the batch-s
+# three (sketch_cms_token_freq, sample_priority_weighted,
+# text_zipf_slope).
 
 
 def _ordered(d: dict) -> dict:
