@@ -227,3 +227,133 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-bucketed quantile sketch (HdrHistogram / DDSketch family)
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 3  # 2^3 sub-buckets per octave -> relative error <= 2^-4
+
+
+def hdr_bucket(v: Column, sub_bits: int = HDR_SUB_BITS) -> Column:
+    """Log2 bucket id of a POSITIVE integer value: the value with all
+    bits below its top (sub_bits+1) cleared — i.e. (v >> s) << s with
+    s = max(bit_length(v) - sub_bits - 1, 0). Values sharing a bucket
+    agree in their top bits, so the bucket spans [id, id + 2^s) and the
+    relative width is <= 2^-sub_bits (HdrHistogram's bucketing;
+    DDSketch uses log-gamma — same family, but this form is EXACT
+    integer arithmetic, hence bit-reproducible in any engine: Spark
+    ``shiftleft(shiftright(v, s), s)`` == DuckDB ``(v >> s) << s``).
+
+    Non-positive values get bucket 0 (their own underflow bucket);
+    NULL stays NULL (dropped by the tier agg)."""
+    blen = F.length(F.bin(v))
+    s = F.greatest(blen - F.lit(int(sub_bits) + 1), F.lit(0))
+    # the shifts are expressed arithmetically (the Python shift helpers
+    # take a literal shift amount only): v >> s == floor(v / 2^s) and
+    # m << s == m * 2^s, with 2^s an exact power-of-two double —
+    # division/multiplication by 2^s changes only the exponent, so both
+    # are IEEE-exact and identical in any engine.
+    p2s = F.pow(F.lit(2.0), s.cast("double"))
+    m = F.floor(v.cast("double") / p2s)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(v.cast("long") <= 0, F.lit(0))
+        .otherwise((m * p2s).cast("long"))
+    )
+
+
+def hdr_tier(
+    obs: DataFrame,
+    value_col: str,
+    key_cols: tuple[str, ...] = (),
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Per-key log-bucketed quantile sketch: (key..., bucket, cnt).
+    Like the fixed-width histogram tier but with ~2^-sub_bits RELATIVE
+    error across the full dynamic range — no a-priori [lo, hi) choice,
+    which is what production latency/size percentiles need (a linear
+    histogram sized for the p50 clips the p999). Loss-free mergeable
+    (counters sum, see hdr_merge); bounded width: 2^sub_bits buckets
+    per octave, <= 64·2^sub_bits rows per key over the full long
+    range."""
+    v = F.col(value_col)
+    return (
+        obs.where(v.isNotNull())
+        .groupBy(*key_cols, hdr_bucket(v, sub_bits).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(
+    sketches: DataFrame, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketches by summing bucket counters — the tier-cascade
+    step (1h sketches -> 1d without raw data), exactly lossless."""
+    return (
+        sketches.groupBy(*key_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantile(
+    sketch: DataFrame,
+    q: float,
+    key_cols: tuple[str, ...] = (),
+    sub_bits: int = HDR_SUB_BITS,
+    out_col: str = "q_approx",
+) -> DataFrame:
+    """(key..., q_approx): the bucket LOWER EDGE of the first bucket
+    whose cumulative count reaches ceil(q * total) — the
+    rank-of-smallest-in-bucket estimator, within 2^-sub_bits relative
+    error of the exact order statistic. Pure integer ranks (no float
+    rank boundary), deterministic bucket order — engine-exact."""
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    ranked = (
+        sketch.withColumn("_cum", F.sum("cnt").over(w_cum))
+        .withColumn("_tot", F.sum("cnt").over(w_all))
+        .withColumn("_need", F.ceil(F.lit(float(q)) * F.col("_tot")))
+    )
+    hit = ranked.where(F.col("_cum") >= F.col("_need"))
+    return (
+        hit.groupBy(*key_cols)
+        .agg(F.min("bucket").cast("long").alias(out_col))
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    qs: dict[str, float],
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All requested quantiles in ONE pass: (key..., <name> per qs
+    entry). Same estimator as hdr_quantile, but the cumulative window
+    is computed once and each quantile is a conditional MIN over it —
+    one window + one agg instead of a sketch recomputation per q."""
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    ranked = sketch.withColumn("_cum", F.sum("cnt").over(w_cum)).withColumn(
+        "_tot", F.sum("cnt").over(w_all)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_tot")),
+                F.col("bucket"),
+            )
+        )
+        .cast("long")
+        .alias(name)
+        for name, q in qs.items()
+    ]
+    return ranked.groupBy(*key_cols).agg(*aggs)

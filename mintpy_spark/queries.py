@@ -405,6 +405,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3q  # noqa: F401  (SAX/kNN/Benford queries)
     import mintpy_spark.queries_r3r  # noqa: F401  (diff/silhouette/twm queries)
     import mintpy_spark.queries_r3s  # noqa: F401  (CMS/priority-sample/Zipf queries)
+    import mintpy_spark.queries_r3t  # noqa: F401  (HDR/transition/diurnal queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -493,7 +494,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # benford_first_digit) and the batch-r three (tier_snapshot_diff,
 # embedding_label_silhouette, time_weighted_median) and the batch-s
 # three (sketch_cms_token_freq, sample_priority_weighted,
-# text_zipf_slope).
+# text_zipf_slope) and the batch-t three (rollup_1d_hdr_quantiles,
+# event_transition_top, diurnal_entropy).
 
 
 def _ordered(d: dict) -> dict:
