@@ -243,24 +243,26 @@ def hdr_bucket(v: Column, sub_bits: int = HDR_SUB_BITS) -> Column:
     agree in their top bits, so the bucket spans [id, id + 2^s) and the
     relative width is <= 2^-sub_bits (HdrHistogram's bucketing;
     DDSketch uses log-gamma — same family, but this form is EXACT
-    integer arithmetic, hence bit-reproducible in any engine: Spark
-    ``shiftleft(shiftright(v, s), s)`` == DuckDB ``(v >> s) << s``).
+    integer arithmetic over the FULL long range, hence bit-reproducible
+    in any engine: Spark ``shiftleft(shiftright(v, s), s)`` (the SQL
+    functions accept a column shift amount; the Python helpers don't)
+    == DuckDB ``(v >> s) << s``. A double-based floor(v/2^s)*2^s form
+    would break at v >= 2^53 — the cast to double rounds, pushing the
+    bucket edge ABOVE the value and (at the top octave) overflowing the
+    oracle's BIGINT cast.
 
     Non-positive values get bucket 0 (their own underflow bucket);
     NULL stays NULL (dropped by the tier agg)."""
-    blen = F.length(F.bin(v))
-    s = F.greatest(blen - F.lit(int(sub_bits) + 1), F.lit(0))
-    # the shifts are expressed arithmetically (the Python shift helpers
-    # take a literal shift amount only): v >> s == floor(v / 2^s) and
-    # m << s == m * 2^s, with 2^s an exact power-of-two double —
-    # division/multiplication by 2^s changes only the exponent, so both
-    # are IEEE-exact and identical in any engine.
-    p2s = F.pow(F.lit(2.0), s.cast("double"))
-    m = F.floor(v.cast("double") / p2s)
+    vl = v.cast("long")
+    blen = F.length(F.bin(vl))
+    s = F.greatest(blen - F.lit(int(sub_bits) + 1), F.lit(0)).cast("int")
+    masked = F.call_function(
+        "shiftleft", F.call_function("shiftright", vl, s), s
+    )
     return (
         F.when(v.isNull(), F.lit(None).cast("long"))
-        .when(v.cast("long") <= 0, F.lit(0))
-        .otherwise((m * p2s).cast("long"))
+        .when(vl <= 0, F.lit(0))
+        .otherwise(masked.cast("long"))
     )
 
 
@@ -308,23 +310,11 @@ def hdr_quantile(
     whose cumulative count reaches ceil(q * total) — the
     rank-of-smallest-in-bucket estimator, within 2^-sub_bits relative
     error of the exact order statistic. Pure integer ranks (no float
-    rank boundary), deterministic bucket order — engine-exact."""
-    w_cum = (
-        Window.partitionBy(*key_cols)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*key_cols)
-    ranked = (
-        sketch.withColumn("_cum", F.sum("cnt").over(w_cum))
-        .withColumn("_tot", F.sum("cnt").over(w_all))
-        .withColumn("_need", F.ceil(F.lit(float(q)) * F.col("_tot")))
-    )
-    hit = ranked.where(F.col("_cum") >= F.col("_need"))
-    return (
-        hit.groupBy(*key_cols)
-        .agg(F.min("bucket").cast("long").alias(out_col))
-    )
+    rank boundary), deterministic bucket order — engine-exact.
+    Single-quantile convenience over hdr_quantiles (ONE implementation
+    of the rank rule — the two must never fork)."""
+    del sub_bits  # the estimator reads only (bucket, cnt)
+    return hdr_quantiles(sketch, {out_col: q}, key_cols=key_cols)
 
 
 def hdr_quantiles(

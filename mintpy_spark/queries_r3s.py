@@ -78,13 +78,17 @@ _PROBES_SQL = "[" + ", ".join(f"'{t}'" for t in _CMS_PROBES) + "]"
 def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Count-Min point-frequency estimates for a fixed probe
     watchlist, alongside the exact counts (est >= exact always; the
-    absent probe must report est = exact = 0).
+    absent probe reports est = exact = 0 here because at this corpus's
+    per-source vocabulary some of its 4 width-64 counters stay empty —
+    with a saturated sketch the guarantee is only est >= exact).
 
-    Plan: one token explode -> sketch hash-agg (map-side combine bounds
-    the Exchange at d*w rows per source); the probe side is (sources x
-    5 tokens x 4 rows) — broadcast; exact counts reuse the same explode
-    via a pre-join filter on the tiny probe list. At 10^12 tokens only
-    the sketch agg touches the corpus."""
+    Plan: three corpus passes at sandbox layout — the sketch hash-agg
+    (map-side combine bounds its Exchange at d*w rows per source), the
+    exact-count re-scan (probe-filtered pre-join), and the distinct
+    sources scan for the probe frame. The exact branch is this query's
+    VERIFICATION tier (same discipline as the dedup twins): production
+    at 10^12 tokens runs the sketch agg alone and probes stored
+    sketches; distinct sources come from the sketch itself."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(nonempty_tokens(F.col("text"))).alias("tok")
@@ -141,8 +145,8 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.source, r.doc_id, r.n_chars,
            CAST(r.rn AS INT) AS rank,
-           round(greatest(CAST(r.n_chars AS DOUBLE),
-                          COALESCE(t.tau, 0.0)), 4) AS est_w
+           greatest(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, 0.0))
+             AS est_w
     FROM r JOIN t USING (source)
     WHERE r.rn <= 5
     """,
@@ -153,7 +157,14 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Priorities are hash-derived and use only IEEE multiply/divide, so
     the SAME rows sample in Spark, DuckDB, or any rerun — the
     reproducibility invariant of curation sampling. One window Exchange
-    on source."""
+    on source.
+
+    est_w is compared UNROUNDED: it contains no summation (w is an
+    exact small integer in double; tau a max over exact quotients, and
+    max is order-free), so both engines produce bit-identical doubles —
+    in-query ROUND would only ADD a half-point divergence channel
+    (memory: floor-quantize or don't round at all; never ROUND a
+    cross-engine-compared double)."""
     docs = load(spark, sf_dir, "documents")
     out = priority_sample(
         docs, weight_col="n_chars", k=5, id_col="doc_id",
@@ -164,7 +175,7 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.col("rank").cast("int").alias("rank"),
-        F.round(F.col("est_w"), 4).alias("est_w"),
+        F.col("est_w"),
     )
 
 

@@ -28,12 +28,14 @@ from mintpy_spark.operators.sketch import hdr_merge, hdr_quantiles, hdr_tier
 from mintpy_spark.queries import _q, load
 
 # shared SQL fragment: the HDR bucket of a positive BIGINT at
-# sub_bits=3 (s = max(bitlength-4, 0); 2^s via power() is an exact
-# power-of-two double, so the divide/multiply round-trip is IEEE-exact)
+# sub_bits=3 (s = max(bitlength-4, 0)) — EXACT integer shifts, valid
+# over the full BIGINT range (a double-based floor(v/2^s)*2^s breaks
+# at v >= 2^53: the double cast rounds, pushing the bucket edge above
+# the value, and the top octave overflows the BIGINT cast)
 _HDR_BUCKET_SQL = """
   CASE WHEN cents <= 0 THEN 0
-       ELSE CAST(floor(cents / power(2.0, greatest(length(bin(cents)) - 4, 0)))
-                 * power(2.0, greatest(length(bin(cents)) - 4, 0)) AS BIGINT)
+       ELSE (cents >> greatest(length(bin(cents)) - 4, 0))
+            << greatest(length(bin(cents)) - 4, 0)
   END
 """
 

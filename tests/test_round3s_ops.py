@@ -128,29 +128,33 @@ def test_priority_sample_subset_sum_unbiased(spark):
 
 
 def test_zipf_slope_negative_on_zipfian_counts(spark):
-    # a corpus whose token counts follow 1/rank must fit slope ~ -1
-    import mintpy_spark.queries_r3s as S
+    # a corpus whose token counts follow 1/rank must fit slope ~ -1,
+    # measured THROUGH the registered query (not a re-derivation)
+    import os
+    import tempfile
+
+    from mintpy_spark.queries_r3s import text_zipf_slope
 
     rows = []
-    did = 0
     for rank in range(1, 21):
         reps = max(1, round(100 / rank))
-        rows.append((did, "Z", (" tok%02d" % rank) * reps))
-        did += 1
+        rows.append((rank, "Z", (" tok%02d" % rank) * reps))
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    docs.createOrReplaceTempView("_zipf_docs")
-    from mintpy_spark.functions.scalars import nonempty_tokens
-    from pyspark.sql import Window
-
-    cnts = (
-        docs.select("source", F.explode(nonempty_tokens(F.col("text"))).alias("tok"))
-        .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = text_zipf_slope(spark, d).collect()
+    assert len(out) == 1 and out[0]["source"] == "Z"
+    assert out[0]["n_terms"] == 20
+    assert -1.15 < out[0]["zipf_slope"] < -0.85
+    # cross-check the query's aggregate against a python OLS replica
+    pts = []
+    cnt_by_rank = sorted(
+        (max(1, round(100 / r)) for r in range(1, 21)), reverse=True
     )
-    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    xy = cnts.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 50)
-    pts = [(math.log(r["rnk"]), math.log(r["cnt"])) for r in xy.collect()]
+    for i, c in enumerate(cnt_by_rank, start=1):
+        pts.append((math.log(i), math.log(c)))
     n = len(pts)
     sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
     sxy = sum(p[0] * p[1] for p in pts); sxx = sum(p[0] ** 2 for p in pts)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    assert -1.15 < slope < -0.85
+    assert abs(out[0]["zipf_slope"] - round(slope, 4)) < 1e-9

@@ -127,3 +127,19 @@ def test_diurnal_entropy_uniform_vs_point(spark):
     assert out["bot"]["entropy"] == 0.0
     assert out["bot"]["peak_hour"] == 3
     assert out["spread"]["peak_hour"] == 0  # tie -> smallest hour
+
+
+def test_hdr_bucket_exact_above_2_53(spark):
+    # regression: a double-based floor(v/2^s)*2^s form rounds v >= 2^53
+    # UP past the value (and overflows BIGINT at the top octave); the
+    # integer-shift form must hold the invariants over the full range
+    from mintpy_spark.operators.sketch import hdr_bucket
+
+    vals = [2 ** 53 + 1, 2 ** 54 - 1, 2 ** 60 + 12345, 2 ** 63 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for r in df.select("v", hdr_bucket(F.col("v")).alias("b")).collect():
+        assert r["b"] <= r["v"]
+        assert (r["v"] - r["b"]) / r["v"] <= 2 ** -3
+        assert r["b"] == (r["v"] >> max(r["v"].bit_length() - 4, 0)) << max(
+            r["v"].bit_length() - 4, 0
+        )
