@@ -555,3 +555,51 @@ def test_checkpoint_table_refuses_remote_roots():
 
     with pytest.raises(NotImplementedError, match="remote root"):
         CheckpointTable("s3a://bucket/tiers/_maintenance_metrics")
+
+
+def test_hdr_sketch_maintenance_equals_batch_and_replay_safe(spark, paths):
+    """Streamed HDR sketch folds must equal hdr_tier over everything
+    ingested, and — critically for an ADDITIVE sketch — a replayed
+    committed batch must not double-count."""
+    from mintpy_spark.operators.sketch import hdr_tier
+    from mintpy_spark.streaming.sketch_stream import (
+        HdrSketchMaintainer, maintain_hdr_sketch,
+    )
+
+    inp, store_root, ckpt = paths
+    sch = "url string, warc_ts timestamp, text_length long"
+
+    def drop(day_lo, day_hi):
+        rows = [
+            (f"u{u}", dt.datetime(2023, 2, d, h), 90 + u * 13 + h * 7)
+            for u in range(3)
+            for d in range(day_lo, day_hi)
+            for h in (2, 8, 14, 20)
+        ]
+        spark.createDataFrame(rows, sch).write.mode("append").parquet(inp)
+
+    drop(1, 3)
+    maintain_hdr_sketch(spark, inp, store_root, ckpt)
+    drop(3, 5)  # new days
+    drop(1, 2)  # late rows for day 1
+    maintain_hdr_sketch(spark, inp, store_root, ckpt)
+
+    m = HdrSketchMaintainer(store_root)
+    got = {tuple(r) for r in m.read_sketch(spark).collect()}
+    allobs = spark.read.parquet(inp).select(
+        F.date_trunc("day", F.col("warc_ts")).alias("day"),
+        F.col("text_length").cast("long").alias("_v"),
+    )
+    want = {tuple(r) for r in hdr_tier(allobs, "_v", key_cols=("day",)).collect()}
+    assert got == want
+
+    # replay of an already-committed batch: counters must NOT double
+    delta = spark.createDataFrame(
+        [("u9", dt.datetime(2023, 2, 1, 5), 111)], sch
+    )
+    last = m.committed_version(spark)
+    m.apply_delta(delta, batch_id=last)  # same id -> skipped
+    assert {tuple(r) for r in m.read_sketch(spark).collect()} == got
+    m.apply_delta(delta, batch_id=last + 1)  # new id -> folds once
+    total = m.read_sketch(spark).agg(F.sum("cnt")).first()[0]
+    assert total == spark.read.parquet(inp).count() + 1
