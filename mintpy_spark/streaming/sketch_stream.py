@@ -97,6 +97,13 @@ class HdrSketchMaintainer(TierMaintainer):
     def read_sketch(self, spark: SparkSession) -> DataFrame:
         return self.read_tier(spark, self.TIER_NAME)
 
+    def read_realtime(self, *a, **k):  # pragma: no cover - guard only
+        raise NotImplementedError(
+            "read_realtime merges value-tier partials (cnt/vsum/...); a "
+            "sketch store has no unfolded tail — read_sketch() gives the "
+            "latest committed sketch, hdr_merge folds any live delta"
+        )
+
 
 def maintain_hdr_sketch(
     spark: SparkSession,
