@@ -406,6 +406,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3r  # noqa: F401  (diff/silhouette/twm queries)
     import mintpy_spark.queries_r3s  # noqa: F401  (CMS/priority-sample/Zipf queries)
     import mintpy_spark.queries_r3t  # noqa: F401  (HDR/transition/diurnal queries)
+    import mintpy_spark.queries_r3u  # noqa: F401  (bitmap/overlap/hazard/gini queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -495,7 +496,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # embedding_label_silhouette, time_weighted_median) and the batch-s
 # three (sketch_cms_token_freq, sample_priority_weighted,
 # text_zipf_slope) and the batch-t three (rollup_1d_hdr_quantiles,
-# event_transition_top, diurnal_entropy).
+# event_transition_top, diurnal_entropy) and the batch-u four
+# (presence_bitmap_60d, audience_overlap_jaccard,
+# conversion_hazard_daily, gini_user_concentration).
 
 
 def _ordered(d: dict) -> dict:
