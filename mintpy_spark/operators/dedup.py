@@ -969,3 +969,114 @@ def cdc_chunk_oracle_sql(
     FROM l JOIN t USING (h)
     GROUP BY l.{id_col}
     """
+
+
+def containment_near_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_df: int = 50, threshold_bp: int = 5000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, inter, containment_bp): pairs whose
+    max-containment |A∩B| / min(|A|, |B|) clears ``threshold_bp`` over
+    DISCRIMINATIVE word-3-gram shingle sets (document frequency <=
+    ``max_df`` — the Broder stop-shingle cut).  Containment is the
+    asymmetric near-dup measure Jaccard LSH structurally misses: a short
+    quote A embedded in a long page B has Jaccard ~ |A|/|B| ~ 0 but
+    containment ~ 1, so quote-inclusion / subset pairs only surface here.
+
+    Reference analog: the common-mask overlap accounting of
+    ``objects/stack.py:972`` (what fraction of one stack's coverage lies
+    inside another's), applied to shingle sets.
+
+    Scale shape: postings (shingle, doc) from the per-doc DISTINCT
+    shingle set (drift.shingle_set — the one tokenizer) -> df census and
+    stop-shingle cut co-located on the same shingle Exchange ->
+    inverted-index pair generation, bounded by ``max_df`` x |postings|
+    (each posting meets at most max_df - 1 partners — the df cap is the
+    SEMANTICS, not an approximation dodge: ubiquitous shingles carry no
+    duplication signal, and unbounded df is exactly what makes naive
+    inverted-index pair counting quadratic on hot shingles) -> pair hash
+    agg -> two shuffle joins against the per-doc size table.
+    """
+    from mintpy_spark.operators.drift import shingle_set
+
+    assert max_df >= 2, "max_df < 2 cannot produce any pair"
+    post = docs.select(
+        F.col(id_col), F.explode(shingle_set(F.col(text_col))).alias("tok")
+    )
+    keep = (
+        post.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("tok")
+    )
+    f = post.join(keep, "tok")
+    sizes = f.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = f.select("tok", F.col(id_col).alias("doc_a"))
+    b = f.select("tok", F.col(id_col).alias("doc_b"))
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    bp = F.floor(
+        F.col("inter") * 10000.0 / F.least(F.col("n_a"), F.col("n_b")) + 0.5
+    ).cast("long")
+    return (
+        pairs.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("inter").cast("long").alias("inter"),
+            bp.alias("containment_bp"),
+        )
+        .where(F.col("containment_bp") >= threshold_bp)
+    )
+
+
+def containment_oracle_sql(max_df: int = 50, threshold_bp: int = 5000) -> str:
+    """DuckDB mirror of containment_near_dups: distinct word-3-gram
+    shingles over the one tokenizer (functions/scalars.nonempty_tokens —
+    empties dropped BEFORE windowing, same as drift.shingle_set)."""
+    return f"""
+    WITH post AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(toks) - 2),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS tok
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 3
+    ), keep AS (
+      SELECT tok FROM post GROUP BY tok HAVING COUNT(*) <= {max_df}
+    ), f AS (
+      SELECT p.doc_id, p.tok FROM post p JOIN keep k USING (tok)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM f GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM f a JOIN f b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+             CAST(p.inter AS BIGINT) AS inter,
+             CAST(floor(p.inter * 10000.0 / least(sa.n, sb.n) + 0.5)
+                  AS BIGINT) AS containment_bp
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT * FROM scored WHERE containment_bp >= {threshold_bp}
+    """

@@ -1,0 +1,111 @@
+"""Engagement census operators: rolling-window distinct actives
+(DAU/WAU/stickiness) and time-in-state dwell aggregation.
+
+Reference analog: MintPy's temporal-coverage accounting — the per-date
+observation masks behind ``timeseries.py`` date selection and the
+nonzero/common-mask ALL-aggregates (``objects/stack.py:972``) — recast
+as the product-analytics staples over the events stream:
+
+* ``daily_actives`` — DAU plus exact rolling-7-day distinct actives
+  (WAU).  Exact sliding count-distinct does NOT decompose into
+  mergeable partials, so the scale-safe form is the interval-cover
+  explode: each distinct (user, day) contributes to exactly ``window``
+  window-ends — a bounded fan-out independent of per-day event volume —
+  then a second distinct collapses multi-day users per window.  Both
+  aggs are hash aggs with map-side partial combine; no unbounded
+  window-function state.
+* ``state_dwell`` — the TimescaleDB ``state_agg`` analog: a row enters
+  its state at its own timestamp and exits at the user's next event
+  (MintPy's acquisition-interval ``tbase_diff`` between consecutive
+  epochs, ``timeseries2velocity`` setup).  Microsecond integers
+  end-to-end so the DuckDB oracle (``epoch_us``) matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mintpy_spark.operators.bitmap import epoch_day
+
+
+def daily_actives(
+    events: DataFrame,
+    window: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(ed, dau, wau, stickiness_bp) for every day with direct activity.
+
+    ``wau`` is the EXACT distinct-user count over the trailing ``window``
+    days ending at ``ed``; ``stickiness_bp`` = round(dau / wau) in basis
+    points (the DAU/MAU-style engagement ratio).
+
+    Plan: distinct (user, day) — Exchange 1, volume = distinct user-days,
+    not raw events; DAU from a map-side-combined count; the cover explode
+    fans each user-day into its ``window`` covered window-ends (x``window``
+    bounded) and re-distincts — Exchange 2; final counts are tiny hash
+    aggs.  Output restricted to days that themselves have activity (inner
+    join on the DAU side), so a silent day inside a busy week emits no row.
+    """
+    assert window >= 1
+    ud = events.select(
+        F.col(user_col).alias("user_id"), epoch_day(ts_col).alias("ed")
+    ).distinct()
+    dau = ud.groupBy("ed").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("ed"), F.col("ed") + F.lit(window - 1))
+        ).alias("wd"),
+    ).distinct()
+    wau = cover.groupBy("wd").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, dau["ed"] == wau["wd"])
+        .select(
+            "ed",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.floor(F.col("dau") * 10000.0 / F.col("wau") + 0.5)
+            .cast("long")
+            .alias("stickiness_bp"),
+        )
+    )
+
+
+def state_dwell(
+    events: DataFrame,
+    state_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(state, entries, total_us, max_us, mean_us): time spent in each
+    state across all users.  A row enters ``state_col`` at its own
+    timestamp and exits at the user's next event; each user's last event
+    has no exit and contributes no dwell (no censoring invented).
+
+    Ties on the timestamp are broken on ``tiebreak_col`` so the lead()
+    pairing is deterministic and identical in the oracle.  Plan: ONE
+    Exchange on ``user_col`` for the lead window (Spark sorts within
+    partitions; no global sort), then a |states|-bounded hash agg.
+    """
+    w = Window.partitionBy(user_col).orderBy("_us", tiebreak_col)
+    seg = (
+        events.select(
+            user_col,
+            F.col(state_col).alias("state"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            tiebreak_col,
+        )
+        .withColumn("_dwell", F.lead("_us").over(w) - F.col("_us"))
+        .where(F.col("_dwell").isNotNull())
+    )
+    return seg.groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("entries"),
+        F.sum("_dwell").cast("long").alias("total_us"),
+        F.max("_dwell").cast("long").alias("max_us"),
+        F.floor(F.sum("_dwell") * 1.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("mean_us"),
+    )
