@@ -80,3 +80,49 @@ def interarrival_stats(
         ).alias("mean_gap_s"),
         F.round(cv, 4).alias("cv"),
     )
+
+
+def rate_limit_audit(
+    events: DataFrame,
+    window_s: int = 3600,
+    limit: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, n_events, max_in_window, windows_over, violated): the
+    sliding-window rate-limiter audit — for every event, how many of the
+    key's events fall in the trailing ``window_s`` seconds (inclusive),
+    and which keys ever exceed ``limit`` in one window.
+
+    The abuse-gate twin of interarrival_stats: CV profiles average
+    burstiness, this finds the WORST window exactly (scrape throttling,
+    bot gating, API quota enforcement all key off max-in-window, not
+    the mean).  Reference analog: the redundant-acquisition screen in
+    MintPy's network selection (too many acquisitions inside one
+    temporal-baseline window adds no information and skews weights).
+
+    Plan: ONE Exchange on the key for a RANGE window ordered by integer
+    epoch seconds (sort within partitions only), then a per-key hash
+    agg.  RANGE (not ROWS) makes same-second events symmetric, so the
+    count is order-independent under ties — deterministic at any
+    parallelism, no tiebreak column needed.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_s")
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    staged = events.select(
+        key_col,
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 1000000"
+        ).alias("_s"),
+    ).withColumn("_cnt", F.count(F.lit(1)).over(w))
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("_cnt").cast("long").alias("max_in_window"),
+        F.sum((F.col("_cnt") > limit).cast("long"))
+        .cast("long")
+        .alias("windows_over"),
+        F.max(F.col("_cnt") > limit).alias("violated"),
+    )

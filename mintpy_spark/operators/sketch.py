@@ -347,3 +347,203 @@ def hdr_quantiles(
         for name, q in qs.items()
     ]
     return ranked.groupBy(*key_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register tier (distinct-count twin of the KMV tier: fixed
+# 64-register width, max-mergeable — and unlike KMV's k-smallest arrays,
+# the merge is a plain MAX per register, so it is replay-IDEMPOTENT and
+# commutative like the presence bitmap; no committed-version guard needed)
+# ---------------------------------------------------------------------------
+
+HLL_BUCKETS = 64          # m = 2^6 registers
+HLL_BUCKET_BITS = 6
+HLL_MAX_RHO = 55          # 60-bit hash, 6 bucket bits -> 54 rest bits; rho<=55
+# alpha_m * m^2 * 2^HLL_MAX_RHO — the scaled estimator numerator, one
+# double literal shared verbatim with the oracle SQL (repr round-trips)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_BUCKETS)
+HLL_EST_NUM = HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS * float(1 << HLL_MAX_RHO)
+
+
+def hll_tier(
+    obs: DataFrame,
+    item_col: str,
+    tier: str = "1d",
+    key_cols: tuple[str, ...] = (),
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Raw rows -> HLL registers: (key..., bucket_start, bucket, r) with
+    r = max over items of rho(hash) for the 64-way register split.
+    rho = trailing zeros of the top-54-bit remainder + 1 (the rest==0
+    row saturates at 55).  The Exchange carries at most 64 rows per
+    (key, bucket_start) — independent of item volume, the tier claim."""
+    from mintpy_spark.functions.timefn import bucket_start
+
+    h = portable_hash(F.col(item_col))
+    rest = F.shiftright(h, HLL_BUCKET_BITS)
+    rho = F.when(rest == 0, F.lit(HLL_MAX_RHO)).otherwise(
+        F.bit_count(rest.bitwiseAND(-rest) - 1) + 1
+    )
+    return (
+        obs.select(
+            *key_cols,
+            bucket_start(F.col(ts), tier).alias("bucket_start"),
+            (h % HLL_BUCKETS).alias("bucket"),
+            rho.alias("r"),
+        )
+        .where(F.col("bucket").isNotNull())  # NULL items carry no register
+        .groupBy(*key_cols, "bucket_start", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(
+    sketch_df: DataFrame, to_tier: str, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Fold fine-tier registers into a coarser tier: MAX per register —
+    associative, commutative AND idempotent (replaying a partial is a
+    no-op), the strongest merge class in the sketch family."""
+    from mintpy_spark.functions.timefn import bucket_start
+
+    return (
+        sketch_df.select(
+            *key_cols,
+            bucket_start(F.col("bucket_start"), to_tier).alias("bucket_start"),
+            "bucket",
+            "r",
+        )
+        .groupBy(*key_cols, "bucket_start", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(
+    sketch_df: DataFrame, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Registers -> (key..., bucket_start, n_regs, sum_scaled, est_distinct).
+
+    Integer-exact accumulation: sum_scaled = sum over the 64 registers of
+    2^(55 - r), absent registers contributing 2^55 (r = 0); max value
+    64 * 2^55 = 2^61, inside LongType.  The classic raw estimate
+    alpha * m^2 / sum(2^-r) == HLL_EST_NUM / sum_scaled, one double
+    division + floor(+0.5) on a literal numerator — deterministic and
+    oracle-identical.  (No small-range linear-counting correction: ln()
+    is the one libm call whose engine parity is NOT guaranteed; the raw
+    estimate plus n_regs lets callers apply it driver-side.)"""
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO} - r)")
+    grouped = sketch_df.groupBy(*key_cols, "bucket_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(term).cast("long").alias("_present"),
+    )
+    sum_scaled = (
+        F.col("_present")
+        + (F.lit(HLL_BUCKETS) - F.col("n_regs"))
+        * F.lit(1 << HLL_MAX_RHO).cast("long")
+    )
+    return grouped.select(
+        *key_cols,
+        "bucket_start",
+        "n_regs",
+        sum_scaled.cast("long").alias("sum_scaled"),
+        F.floor(F.lit(HLL_EST_NUM) / sum_scaled.cast("double") + 0.5)
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership tier (the presence bitmap's hash-addressed twin: the
+# bitmap is exact over a DENSE small domain (day offsets); Bloom covers
+# an UNBOUNDED key domain at fixed width, trading exactness for a
+# bounded, one-sided false-positive rate — no false negatives)
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 4   # 4 x 63 usable bits = 252-bit filters
+BLOOM_K = 3       # hash probes per item
+BLOOM_WORD_BITS = 63  # bit 63 is the sign bit: 1::BIGINT << 63 overflows
+                      # DuckDB's checked shift (same cap as the presence
+                      # bitmap's 60-day blocks and simhash's bits<=64 note)
+
+
+def bloom_positions(col: Column, k: int = BLOOM_K, words: int = BLOOM_WORDS) -> list[Column]:
+    """k engine-portable bit positions in [0, words*63) for an item:
+    portable_hash60 of the item string salted with '|i'."""
+    m_bits = words * BLOOM_WORD_BITS
+    return [
+        portable_hash(F.concat(col.cast("string"), F.lit(f"|{i}"))) % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_tier(
+    obs: DataFrame,
+    item_col: str,
+    key_cols: tuple[str, ...],
+    k: int = BLOOM_K,
+    words: int = BLOOM_WORDS,
+) -> DataFrame:
+    """Raw rows -> per-key Bloom filter: (key..., w0..w{words-1}) int64
+    words of 63 usable bits each.  Each row's contribution is assembled ROW-LOCALLY (k
+    conditional bits OR-folded per word — no explode), then one hash agg
+    bit_or's per word: the Exchange carries `words` longs per key,
+    independent of item volume.  OR is idempotent, so no distinct pass
+    is needed upstream and partial replay is a no-op."""
+    pos = bloom_positions(F.col(item_col), k, words)
+    # SQL-expression form: the shift amount is a COLUMN (the Python
+    # F.shiftleft wrapper only takes int literals)
+    staged = obs.select(
+        *key_cols,
+        *[p.alias(f"_p{i}") for i, p in enumerate(pos)],
+    )
+    words_cols = []
+    for j in range(words):
+        e = " | ".join(
+            f"(CASE WHEN _p{i} DIV {BLOOM_WORD_BITS} = {j} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % {BLOOM_WORD_BITS} AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(k)
+        )
+        words_cols.append(F.expr(e).alias(f"w{j}"))
+    staged = staged.select(*key_cols, *words_cols)
+    return staged.groupBy(*key_cols).agg(
+        *[F.expr(f"bit_or(w{j})").alias(f"w{j}") for j in range(words)]
+    )
+
+
+def bloom_merge(
+    sketch_df: DataFrame, key_cols: tuple[str, ...], words: int = BLOOM_WORDS
+) -> DataFrame:
+    """bit_or per word — idempotent/commutative, replay-safe."""
+    return sketch_df.groupBy(*key_cols).agg(
+        *[F.expr(f"bit_or(w{j})").alias(f"w{j}") for j in range(words)]
+    )
+
+
+def bloom_probe(
+    bloom_df: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    key_cols: tuple[str, ...],
+    k: int = BLOOM_K,
+    words: int = BLOOM_WORDS,
+) -> DataFrame:
+    """probes (key..., item) x bloom (key..., w0..) -> + bloom_hit.
+
+    A probe hits iff ALL k bits are set; a key absent from the bloom
+    table (left join) never hits.  One-sided by construction: a member's
+    bits were all OR'd in, so false negatives are impossible."""
+    pos = bloom_positions(F.col(item_col), k, words)
+    staged = probes.select(
+        "*", *[p.alias(f"_p{i}") for i, p in enumerate(pos)]
+    )
+    joined = staged.join(bloom_df, list(key_cols), "left")
+    word_of = lambda i: "CASE " + " ".join(
+        f"WHEN _p{i} DIV {BLOOM_WORD_BITS} = {j} THEN w{j}" for j in range(words)
+    ) + " END"
+    hit = " AND ".join(
+        f"(shiftright({word_of(i)}, CAST(_p{i} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+        for i in range(k)
+    )
+    return joined.withColumn(
+        "bloom_hit", F.coalesce(F.expr(hit), F.lit(False))
+    ).drop(*[f"_p{i}" for i in range(k)], *[f"w{j}" for j in range(words)])

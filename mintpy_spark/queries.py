@@ -407,6 +407,8 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3s  # noqa: F401  (CMS/priority-sample/Zipf queries)
     import mintpy_spark.queries_r3t  # noqa: F401  (HDR/transition/diurnal queries)
     import mintpy_spark.queries_r3u  # noqa: F401  (bitmap/overlap/hazard/gini queries)
+    import mintpy_spark.queries_r3v  # noqa: F401  (engagement/dwell/containment queries)
+    import mintpy_spark.queries_r3w  # noqa: F401  (HLL/bloom/rate-limit queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -498,7 +500,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # text_zipf_slope) and the batch-t three (rollup_1d_hdr_quantiles,
 # event_transition_top, diurnal_entropy) and the batch-u four
 # (presence_bitmap_60d, audience_overlap_jaccard,
-# conversion_hazard_daily, gini_user_concentration).
+# conversion_hazard_daily, gini_user_concentration) and the batch-v
+# three (engagement_wau_daily, state_dwell_census, dedup_containment)
+# and the batch-w three (rollup_1d_distinct_hll, bloom_presence_fp,
+# rate_limit_audit_1h).
 
 
 def _ordered(d: dict) -> dict:
