@@ -971,6 +971,9 @@ def cdc_chunk_oracle_sql(
     """
 
 
+_CONTAIN_SLOT: list = []
+
+
 def containment_near_dups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_df: int = 50, threshold_bp: int = 5000,
@@ -998,6 +1001,7 @@ def containment_near_dups(
     agg -> two shuffle joins against the per-doc size table.
     """
     from mintpy_spark.operators.drift import shingle_set
+    from mintpy_spark.plans.cache import persist_slot
 
     assert max_df >= 2, "max_df < 2 cannot produce any pair"
     post = docs.select(
@@ -1009,7 +1013,12 @@ def containment_near_dups(
         .where(F.col("_df") <= max_df)
         .select("tok")
     )
-    f = post.join(keep, "tok")
+    # the filtered postings feed THREE consumers (sizes, both sides of
+    # the pair self-join); without a persist, Catalyst replays the scan +
+    # shingle explode + df census once per consumer (the plan audit
+    # showed 8 scans / 7 Exchanges). One-slot persist, same discipline
+    # as the minhash signature table.
+    f = persist_slot(post.join(keep, "tok"), _CONTAIN_SLOT)
     sizes = f.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = f.select("tok", F.col(id_col).alias("doc_a"))
     b = f.select("tok", F.col(id_col).alias("doc_b"))

@@ -42,34 +42,44 @@ def daily_actives(
     points (the DAU/MAU-style engagement ratio).
 
     Plan: distinct (user, day) — Exchange 1, volume = distinct user-days,
-    not raw events; DAU from a map-side-combined count; the cover explode
-    fans each user-day into its ``window`` covered window-ends (x``window``
-    bounded) and re-distincts — Exchange 2; final counts are tiny hash
-    aggs.  Output restricted to days that themselves have activity (inner
-    join on the DAU side), so a silent day inside a busy week emits no row.
+    not raw events; then ONE cover explode (bounded x``window`` fan-out)
+    feeding a single agg that computes DAU (count of offset-0 tags) and
+    WAU (count distinct user) together — no branch split, no join.
+    Output restricted to days that themselves have activity (dau > 0),
+    so a silent day inside a busy week emits no row.
     """
     assert window >= 1
     ud = events.select(
         F.col(user_col).alias("user_id"), epoch_day(ts_col).alias("ed")
     ).distinct()
-    dau = ud.groupBy("ed").agg(F.count(F.lit(1)).alias("dau"))
+    # ONE downstream pass: each distinct user-day fans into its `window`
+    # covered window-ends, tagged whether it is the self-day (offset 0).
+    # DAU(wd) = count of self-tags (unique per (user, wd) since ud is
+    # distinct); WAU(wd) = count DISTINCT user (a user active on several
+    # in-window days collapses). No dau/wau branch split, no join — the
+    # earlier two-branch form cost 5 Exchanges / 2 scans.
     cover = ud.select(
         "user_id",
+        "ed",
         F.explode(
-            F.sequence(F.col("ed"), F.col("ed") + F.lit(window - 1))
-        ).alias("wd"),
-    ).distinct()
-    wau = cover.groupBy("wd").agg(F.count(F.lit(1)).alias("wau"))
-    return (
-        dau.join(wau, dau["ed"] == wau["wd"])
-        .select(
-            "ed",
-            F.col("dau").cast("long").alias("dau"),
-            F.col("wau").cast("long").alias("wau"),
-            F.floor(F.col("dau") * 10000.0 / F.col("wau") + 0.5)
-            .cast("long")
-            .alias("stickiness_bp"),
+            F.sequence(F.lit(0).cast("long"), F.lit(window - 1).cast("long"))
+        ).alias("_i"),
+    )
+    agg = (
+        cover.groupBy((F.col("ed") + F.col("_i")).alias("wd"))
+        .agg(
+            F.sum((F.col("_i") == 0).cast("long")).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
         )
+        .where(F.col("dau") > 0)  # only days with direct activity
+    )
+    return agg.select(
+        F.col("wd").alias("ed"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.floor(F.col("dau") * 10000.0 / F.col("wau") + 0.5)
+        .cast("long")
+        .alias("stickiness_bp"),
     )
 
 
