@@ -409,6 +409,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3u  # noqa: F401  (bitmap/overlap/hazard/gini queries)
     import mintpy_spark.queries_r3v  # noqa: F401  (engagement/dwell/containment queries)
     import mintpy_spark.queries_r3w  # noqa: F401  (HLL/bloom/rate-limit queries)
+    import mintpy_spark.queries_r3x  # noqa: F401  (OLAP Q4/Q13/Q22 + WoW queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -503,7 +504,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # conversion_hazard_daily, gini_user_concentration) and the batch-v
 # three (engagement_wau_daily, state_dwell_census, dedup_containment)
 # and the batch-w three (rollup_1d_distinct_hll, bloom_presence_fp,
-# rate_limit_audit_1h).
+# rate_limit_audit_1h) and the batch-x four
+# (olap_order_priority_semijoin, olap_custdist,
+# olap_idle_rich_customers, rollup_1d_wow_change).
 
 
 def _ordered(d: dict) -> dict:
