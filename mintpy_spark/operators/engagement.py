@@ -119,3 +119,90 @@ def state_dwell(
         .cast("long")
         .alias("mean_us"),
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(ed, new_users, retained, resurrected, churned): the classic
+    growth-accounting decomposition of daily actives.
+
+    Per active (user, day): NEW if the user was never active before,
+    RETAINED if active the previous calendar day, RESURRECTED if
+    returning after a gap >= 2 days.  CHURNED on day d = users active on
+    d-1 but not on d (attributed to d via the lead gap).  Identity:
+    dau(d) = new + retained + resurrected, and
+    retained(d) = dau(d-1) - churned(d) — both assertable in tests.
+
+    Output rows are the ACTIVE days (a day with churn but zero activity
+    emits no row — restatement-free, same policy as daily_actives).
+
+    Plan: distinct (user, day) — Exchange 1; ONE lag+lead window pass
+    per user — Exchange 2 (partition-local sort, both offsets in the
+    same window spec); each row then emits 1-2 CONTRIBUTION rows (its
+    own day's class tally, plus a churn tally on day+1 when the lead gap
+    opens) so a SINGLE day-keyed hash agg produces all four columns — no
+    second window evaluation, no day-table join (the two-branch form
+    replayed the distinct+window per branch).  Reference analog:
+    MintPy's per-date coverage deltas (which acquisitions appear /
+    disappear between consecutive epochs) in the network-modification
+    step.
+    """
+    ud = events.select(
+        F.col(user_col).alias("user_id"), epoch_day(ts_col).alias("ed")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("ed")
+    tagged = ud.select(
+        "user_id",
+        "ed",
+        F.lag("ed").over(w).alias("_prev"),
+        F.lead("ed").over(w).alias("_next"),
+    )
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    own = F.struct(
+        F.col("ed").alias("d"),
+        F.when(F.col("_prev").isNull(), one).otherwise(zero).alias("new_users"),
+        F.when(F.col("_prev") == F.col("ed") - 1, one)
+        .otherwise(zero)
+        .alias("retained"),
+        F.when(
+            F.col("_prev").isNotNull() & (F.col("_prev") < F.col("ed") - 1), one
+        )
+        .otherwise(zero)
+        .alias("resurrected"),
+        zero.alias("churned"),
+    )
+    churn_contrib = F.when(
+        F.col("_next").isNull() | (F.col("_next") > F.col("ed") + 1),
+        F.struct(
+            (F.col("ed") + 1).alias("d"),
+            zero.alias("new_users"),
+            zero.alias("retained"),
+            zero.alias("resurrected"),
+            one.alias("churned"),
+        ),
+    )
+    contribs = tagged.select(
+        F.explode(
+            F.filter(F.array(own, churn_contrib), lambda c: c.isNotNull())
+        ).alias("c")
+    ).select("c.*")
+    out = contribs.groupBy("d").agg(
+        F.sum("new_users").alias("new_users"),
+        F.sum("retained").alias("retained"),
+        F.sum("resurrected").alias("resurrected"),
+        F.sum("churned").alias("churned"),
+    )
+    # active days only: a day whose sole contribution is churn has dau 0
+    return out.where(
+        (F.col("new_users") + F.col("retained") + F.col("resurrected")) > 0
+    ).select(
+        F.col("d").alias("ed"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.col("retained").cast("long").alias("retained"),
+        F.col("resurrected").cast("long").alias("resurrected"),
+        F.col("churned").cast("long").alias("churned"),
+    )

@@ -410,6 +410,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3v  # noqa: F401  (engagement/dwell/containment queries)
     import mintpy_spark.queries_r3w  # noqa: F401  (HLL/bloom/rate-limit queries)
     import mintpy_spark.queries_r3x  # noqa: F401  (OLAP Q4/Q13/Q22 + WoW queries)
+    import mintpy_spark.queries_r3y  # noqa: F401  (growth/IVM-join/share queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -506,7 +507,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # and the batch-w three (rollup_1d_distinct_hll, bloom_presence_fp,
 # rate_limit_audit_1h) and the batch-x four
 # (olap_order_priority_semijoin, olap_custdist,
-# olap_idle_rich_customers, rollup_1d_wow_change).
+# olap_idle_rich_customers, rollup_1d_wow_change) and the batch-y three
+# (growth_accounting_daily, ivm_segment_revenue_delta,
+# share_of_day_by_type).
 
 
 def _ordered(d: dict) -> dict:
