@@ -1,0 +1,149 @@
+"""Streaming maintenance for the IDEMPOTENT sketch family: per-user
+presence bitmaps and per-day HLL registers, folded delta-wise.
+
+The interesting contrast with sketch_stream.py (HDR/CMS): those folds
+are additive — replaying a committed delta DOUBLE-counts, so the
+committed-version marker is load-bearing.  Presence bitmaps fold with
+bit_or and HLL registers with MAX: both are associative, commutative
+AND idempotent, so a replayed delta is a NO-OP by algebra, not by
+bookkeeping.  The maintainer still runs under the same versioned
+atomic-commit protocol (atomic snapshot reads, time travel, GC), but
+the version guard is belt-and-braces here — and the test suite proves
+it by replaying a batch with the guard DISABLED and observing the same
+store.  At-least-once delivery is therefore safe end-to-end for this
+family even if the marker write itself is lost.
+
+Scale: both stored tables are bounded — <= one row per (user, 60-day
+block) for presence (compressing day-level presence 60:1), <= 64
+register rows per day for HLL — so each maintenance step is a bounded
+delta agg + a merge join against a table that never grows with ingest
+volume.
+
+Reference analog: the nonzero/common-mask ALL-aggregate maintenance of
+``objects/stack.py:972`` done continuously instead of per-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mintpy_spark.operators.bitmap import presence_merge, presence_tier
+from mintpy_spark.operators.sketch import hll_merge, hll_tier
+from mintpy_spark.streaming.tier_maintenance import TierMaintainer
+
+
+class PresenceHllMaintainer(TierMaintainer):
+    """Maintains TWO stored tables from an events-shaped stream:
+
+    * ``presence`` — per-(user, 60-day block) presence bitmap
+      (operators/bitmap.py), merged with bit_or;
+    * ``hll1d`` — per-day 64-register HLL of distinct users
+      (operators/sketch.py), merged with MAX.
+
+    ``guard=False`` disables the committed-version replay check — safe
+    for THIS family only (idempotent folds; see module docstring), and
+    used by tests to prove replay convergence without bookkeeping.
+    """
+
+    PRESENCE = "presence"
+    HLL = "hll1d"
+
+    def __init__(
+        self, root: str, user_col: str = "user_id", ts: str = "ts",
+        guard: bool = True,
+    ) -> None:
+        super().__init__(
+            root, value_col=user_col, key=user_col, ts=ts,
+            tiers=(self.PRESENCE, self.HLL),
+        )
+        self.user_col = user_col
+        self.guard = guard
+
+    def _deltas(self, delta_obs: DataFrame) -> dict[str, DataFrame]:
+        ev = delta_obs.select(self.user_col, self.ts)
+        return {
+            self.PRESENCE: presence_tier(
+                ev, ts_col=self.ts, key_cols=(self.user_col,)
+            ),
+            self.HLL: hll_tier(ev, self.user_col, "1d", ts=self.ts),
+        }
+
+    def _merge(self, name: str, both: DataFrame) -> DataFrame:
+        if name == self.PRESENCE:
+            return presence_merge(both, key_cols=(self.user_col,))
+        return hll_merge(both, "1d")
+
+    def apply_delta(
+        self, delta_obs: DataFrame, batch_id: int = 0, with_sq: bool = False
+    ) -> None:
+        del with_sq  # value-tier knob; sketch stores carry no partials
+        spark = delta_obs.sparkSession
+        committed = self.committed_version(spark)
+        if self.guard and committed is not None and committed >= batch_id:
+            return  # replay of a committed batch (no-op anyway — idempotent)
+        if delta_obs.isEmpty():
+            return
+        rows = {}
+        for name, new in self._deltas(delta_obs).items():
+            if committed is not None:
+                stored = spark.read.parquet(
+                    self._version_path(committed, name)
+                )
+                new = self._merge(name, stored.unionByName(new))
+            materialized = new.localCheckpoint(eager=True)
+            materialized.write.mode("overwrite").parquet(
+                self._version_path(batch_id, name)
+            )
+            rows[name] = int(materialized.count())
+        self._commit(spark, batch_id)
+        self._gc(spark)
+        self.metrics.append(
+            [
+                {
+                    "run_id": f"batch{batch_id}",
+                    "stage": f"maintain_{name}",
+                    "part_id": int(batch_id),
+                    "input_fp": "delta",
+                    "row_count": n,
+                    "wall_ms": 0,
+                    "status": "complete",
+                }
+                for name, n in rows.items()
+            ]
+        )
+
+    def read_presence(self, spark: SparkSession) -> DataFrame:
+        return self.read_tier(spark, self.PRESENCE)
+
+    def read_hll(self, spark: SparkSession) -> DataFrame:
+        return self.read_tier(spark, self.HLL)
+
+    def read_realtime(self, *a, **k):  # pragma: no cover - guard only
+        raise NotImplementedError(
+            "read_realtime merges value-tier partials (cnt/vsum/...); fold "
+            "a live tail into read_presence()/read_hll() with "
+            "presence_merge/hll_merge — both idempotent, so folding the "
+            "tail repeatedly is safe"
+        )
+
+
+def maintain_presence_hll(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint: str,
+    schema: str = "user_id long, ts timestamp",
+    guard: bool = True,
+) -> None:
+    """One AvailableNow maintenance pass over new event files: the
+    streaming twin of presence_tier + hll_tier over everything ingested."""
+    m = PresenceHllMaintainer(store_root, guard=guard)
+    src = spark.readStream.schema(schema).parquet(input_path)
+    q = (
+        src.writeStream.foreachBatch(m.foreach_batch())
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
