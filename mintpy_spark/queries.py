@@ -411,6 +411,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3w  # noqa: F401  (HLL/bloom/rate-limit queries)
     import mintpy_spark.queries_r3x  # noqa: F401  (OLAP Q4/Q13/Q22 + WoW queries)
     import mintpy_spark.queries_r3y  # noqa: F401  (growth/IVM-join/share queries)
+    import mintpy_spark.queries_r3aa  # noqa: F401  (pivot/unpivot/rank queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -509,7 +510,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (olap_order_priority_semijoin, olap_custdist,
 # olap_idle_rich_customers, rollup_1d_wow_change) and the batch-y three
 # (growth_accounting_daily, ivm_segment_revenue_delta,
-# share_of_day_by_type).
+# share_of_day_by_type) and the batch-aa three
+# (pivot_daily_type_counts, unpivot_lineitem_measures,
+# value_percentile_daily).
 
 
 def _ordered(d: dict) -> dict:
