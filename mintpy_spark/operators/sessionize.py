@@ -20,7 +20,7 @@ next event arrives within ``gap`` of the previous one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,3 +82,63 @@ def sessionize_oracle_sql(
     FROM numbered
     GROUP BY {key}, session_id
     """
+
+
+def concurrent_peak_daily(
+    sessions: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """(ed, n_segments, peak_concurrent): the sweep-line interval-overlap
+    census (ClickHouse ``maxIntersections``) — per day, the maximum
+    number of sessions active at one instant.
+
+    A session occupies [start_us, end_us + 1): the +1 microsecond makes
+    the interval half-open AND gives single-event sessions (start ==
+    end) a real footprint.  Sessions crossing midnight are clipped into
+    per-day segments (bounded explode over the covered days).  The
+    sweep emits (+1 at segment start, -1 at segment end) and takes the
+    max running sum ordered by (t, delta) — the -1-first tie order makes
+    back-to-back sessions non-overlapping at the boundary instant.
+
+    Plan: one bounded explode (days covered x 2 sweep points), ONE
+    day-keyed window Exchange (partition-local sort — days partition the
+    sweep, so no global ordering), then a per-day max agg.  Deterministic
+    at any parallelism: ties beyond (t, delta) cannot change a running
+    SUM's maximum.
+    """
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp")) + 1
+    day_of = lambda us: F.floor(us / F.lit(86_400_000_000)).cast("long")
+    seg = sessions.select(
+        s_us.alias("_s"),
+        e_us.alias("_e"),
+        F.explode(
+            F.sequence(day_of(s_us), day_of(e_us - 1))
+        ).alias("ed"),
+    ).select(
+        "ed",
+        F.greatest(F.col("_s"), F.col("ed") * 86_400_000_000).alias("lo"),
+        F.least(F.col("_e"), (F.col("ed") + 1) * 86_400_000_000).alias("hi"),
+    )
+    # one row-local explode, not a self-union: a union would evaluate the
+    # session aggregation once per branch (plan audit: 2 scans)
+    sweep = seg.select(
+        "ed",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("hi").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p"),
+    ).select("ed", "p.t", "p.d")
+    w = (
+        Window.partitionBy("ed")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = sweep.withColumn("_c", F.sum("d").over(w))
+    return running.groupBy("ed").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_segments"),
+        F.max("_c").cast("long").alias("peak_concurrent"),
+    )

@@ -412,6 +412,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3x  # noqa: F401  (OLAP Q4/Q13/Q22 + WoW queries)
     import mintpy_spark.queries_r3y  # noqa: F401  (growth/IVM-join/share queries)
     import mintpy_spark.queries_r3aa  # noqa: F401  (pivot/unpivot/rank queries)
+    import mintpy_spark.queries_r3bb  # noqa: F401  (lift/TVD-drift/concurrency queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -512,7 +513,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (growth_accounting_daily, ivm_segment_revenue_delta,
 # share_of_day_by_type) and the batch-aa three
 # (pivot_daily_type_counts, unpivot_lineitem_measures,
-# value_percentile_daily).
+# value_percentile_daily) and the batch-bb three
+# (cooccurrence_lift_daily, drift_tvd_weekly, sessions_concurrent_peak).
 
 
 def _ordered(d: dict) -> dict:

@@ -1,0 +1,111 @@
+"""Round-3 batch bb: co-occurrence lift, TVD drift, concurrency sweep —
+known-answer fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+D = dt.datetime
+
+
+def _ts(day: int, minute: int = 0) -> dt.datetime:
+    return D(2024, 1, 1) + dt.timedelta(days=day, minutes=minute)
+
+
+def _events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def test_cooccurrence_lift_known(spark, tmp_path):
+    from mintpy_spark.queries_r3bb import cooccurrence_lift_daily
+
+    # 4 baskets (day0 x users 1-4): A in all 4; B in 2; A&B together in 2
+    # lift = P(ab)/(P(a)P(b)) = (2/4) / ((4/4)(2/4)) = 1.0 -> 1_000_000 ppm
+    rows, eid = [], 0
+    for u in (1, 2, 3, 4):
+        rows.append((eid, _ts(0, u), u, "A", 1.0, "{}")); eid += 1
+    for u in (1, 2):
+        rows.append((eid, _ts(0, 10 + u), u, "B", 1.0, "{}")); eid += 1
+    _events(spark, tmp_path, rows)
+    out = cooccurrence_lift_daily(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"], r["n_ab"], r["n_a"], r["n_b"]) == ("A", "B", 2, 4, 2)
+    assert r["lift_ppm"] == 1_000_000
+
+
+def test_tvd_drift_known(spark, tmp_path):
+    from mintpy_spark.queries_r3bb import drift_tvd_weekly
+
+    # week boundary: epoch-day // 7. Pick two consecutive 7-day blocks.
+    # ed of 2024-01-01 = 19723 -> 19723//7 = 2817; next block starts at
+    # ed 19726 (2024-01-04). week w: values all in bin 0; week w+1:
+    # half bin 0, half bin 9 -> TVD = 0.5*(|.5-1| + |.5-0|) = 0.5 -> 5000bp
+    rows, eid = [], 0
+    for i in range(4):
+        rows.append((eid, _ts(1, i), 1, "A", 10.0, "{}")); eid += 1  # wk a
+    for i in range(2):
+        rows.append((eid, _ts(8, i), 1, "A", 10.0, "{}")); eid += 1  # wk a+1 bin0
+    for i in range(2):
+        rows.append((eid, _ts(8, 30 + i), 1, "A", 480.0, "{}")); eid += 1  # bin9
+    _events(spark, tmp_path, rows)
+    out = {r["wk"]: r for r in drift_tvd_weekly(spark, str(tmp_path)).collect()}
+    ed0 = (D(2024, 1, 2) - D(1970, 1, 1)).days
+    ed1 = (D(2024, 1, 9) - D(1970, 1, 1)).days
+    wk1 = ed1 // 7
+    assert ed0 // 7 + 1 == wk1  # fixture really spans consecutive weeks
+    r = out[wk1]
+    assert (r["n_prev"], r["n_cur"], r["tvd_bp"]) == (4, 4, 5000)
+
+
+def test_tvd_identical_weeks_zero(spark, tmp_path):
+    from mintpy_spark.queries_r3bb import drift_tvd_weekly
+
+    rows, eid = [], 0
+    for day in (1, 8):  # same shape both weeks
+        for v in (10.0, 60.0, 110.0):
+            rows.append((eid, _ts(day, eid), 1, "A", v, "{}")); eid += 1
+    _events(spark, tmp_path, rows)
+    out = {r["wk"]: r["tvd_bp"] for r in drift_tvd_weekly(spark, str(tmp_path)).collect()}
+    assert 0 in set(out.values())
+
+
+def test_concurrent_peak_sweep(spark):
+    from mintpy_spark.operators.sessionize import concurrent_peak_daily
+
+    # three sessions on one day: [10:00-11:00], [10:30-12:00], [11:30-13:00]
+    # peak = 2 (first two overlap; second & third overlap; never 3)
+    rows = [
+        (D(2024, 1, 1, 10, 0), D(2024, 1, 1, 11, 0)),
+        (D(2024, 1, 1, 10, 30), D(2024, 1, 1, 12, 0)),
+        (D(2024, 1, 1, 11, 30), D(2024, 1, 1, 13, 0)),
+    ]
+    df = spark.createDataFrame(rows, "session_start timestamp, session_end timestamp")
+    out = concurrent_peak_daily(df).collect()
+    assert len(out) == 1
+    assert (out[0]["n_segments"], out[0]["peak_concurrent"]) == (3, 2)
+
+
+def test_concurrent_peak_touching_and_midnight(spark):
+    from mintpy_spark.operators.sessionize import concurrent_peak_daily
+
+    rows = [
+        # back-to-back: B starts where A ends + 1us footprint -> no overlap
+        (D(2024, 1, 1, 9, 0), D(2024, 1, 1, 10, 0)),
+        (D(2024, 1, 1, 10, 0, 0, 1), D(2024, 1, 1, 11, 0)),
+        # crosses midnight: contributes a segment to BOTH days
+        (D(2024, 1, 1, 23, 0), D(2024, 1, 2, 1, 0)),
+        # single-event session (start == end): still counted via +1us
+        (D(2024, 1, 2, 0, 30), D(2024, 1, 2, 0, 30)),
+    ]
+    df = spark.createDataFrame(rows, "session_start timestamp, session_end timestamp")
+    out = {r["ed"]: r for r in concurrent_peak_daily(df).collect()}
+    ed0 = (D(2024, 1, 1) - D(1970, 1, 1)).days
+    assert out[ed0]["peak_concurrent"] == 1      # touching pair never overlaps
+    assert out[ed0]["n_segments"] == 3
+    # day 2: midnight-crossing tail overlaps the single-event session
+    assert out[ed0 + 1]["peak_concurrent"] == 2
+    assert out[ed0 + 1]["n_segments"] == 2
