@@ -413,6 +413,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3y  # noqa: F401  (growth/IVM-join/share queries)
     import mintpy_spark.queries_r3aa  # noqa: F401  (pivot/unpivot/rank queries)
     import mintpy_spark.queries_r3bb  # noqa: F401  (lift/TVD-drift/concurrency queries)
+    import mintpy_spark.queries_r3cc  # noqa: F401  (bloom-prune/Wilson/RFM queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -514,7 +515,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # share_of_day_by_type) and the batch-aa three
 # (pivot_daily_type_counts, unpivot_lineitem_measures,
 # value_percentile_daily) and the batch-bb three
-# (cooccurrence_lift_daily, drift_tvd_weekly, sessions_concurrent_peak).
+# (cooccurrence_lift_daily, drift_tvd_weekly, sessions_concurrent_peak)
+# and the batch-cc three (bloom_join_prune, conversion_rate_wilson,
+# rfm_segments).
 
 
 def _ordered(d: dict) -> dict:
