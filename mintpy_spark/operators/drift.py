@@ -79,3 +79,60 @@ def shingle_drift(
         union.alias("union_sz"),
         jac.alias("jaccard"),
     )
+
+
+def consecutive_week_bins(
+    events: DataFrame,
+    bin_col: Column,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(type, pw, bin, cur, prev, tc, tp): for every consecutive week
+    pair, the current and previous week's bin counts with week totals —
+    the shared scaffolding of the distribution-drift family (TVD, KS).
+
+    Single-pass contribution trick: each (type, week, bin) count feeds
+    its own pair (as ``cur``) AND the next week's pair (as ``prev``), so
+    ONE histogram agg + one bounded x2 fan-out + one |bins|-partition
+    window covers every consecutive-week comparison with no self-join.
+    Weeks are epoch-day // 7 (no ISO-week ambiguity).  Rows where either
+    side is empty are dropped (a drift score against nothing is
+    undefined).  The histogram is one-slot persisted — it feeds both
+    contribution sides.
+    """
+    from pyspark.sql import Window
+
+    from mintpy_spark.plans.cache import persist_slot
+
+    base = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.expr(
+            f"CAST(datediff(CAST({ts_col} AS DATE), DATE '1970-01-01')"
+            " DIV 7 AS BIGINT)"
+        ).alias("wk"),
+        bin_col.alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    base = persist_slot(base, _WEEKBIN_SLOT)
+    zero = F.lit(0).cast("long")
+    cur_side = base.select(
+        "event_type", F.col("wk").alias("pw"), "bin",
+        F.col("c").alias("cur"), zero.alias("prev"),
+    )
+    prev_side = base.select(
+        "event_type", (F.col("wk") + 1).alias("pw"), "bin",
+        zero.alias("cur"), F.col("c").alias("prev"),
+    )
+    g = (
+        cur_side.unionByName(prev_side)
+        .groupBy("event_type", "pw", "bin")
+        .agg(F.sum("cur").alias("cur"), F.sum("prev").alias("prev"))
+    )
+    w = Window.partitionBy("event_type", "pw")
+    return g.select(
+        "event_type", "pw", "bin", "cur", "prev",
+        F.sum("cur").over(w).alias("tc"),
+        F.sum("prev").over(w).alias("tp"),
+    ).where((F.col("tc") > 0) & (F.col("tp") > 0))
+
+
+_WEEKBIN_SLOT: list = []

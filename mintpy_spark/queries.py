@@ -414,6 +414,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3aa  # noqa: F401  (pivot/unpivot/rank queries)
     import mintpy_spark.queries_r3bb  # noqa: F401  (lift/TVD-drift/concurrency queries)
     import mintpy_spark.queries_r3cc  # noqa: F401  (bloom-prune/Wilson/RFM queries)
+    import mintpy_spark.queries_r3dd  # noqa: F401  (skew-audit/KS-drift queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -517,7 +518,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # value_percentile_daily) and the batch-bb three
 # (cooccurrence_lift_daily, drift_tvd_weekly, sessions_concurrent_peak)
 # and the batch-cc three (bloom_join_prune, conversion_rate_wilson,
-# rfm_segments).
+# rfm_segments) and the batch-dd two (skew_audit_user_key,
+# ks_drift_weekly).
 
 
 def _ordered(d: dict) -> dict:

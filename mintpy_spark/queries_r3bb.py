@@ -27,7 +27,6 @@ from mintpy_spark.plans.cache import persist_slot
 from mintpy_spark.queries import _q, load
 
 _BASKET_SLOT: list = []
-_HIST_SLOT: list = []
 
 
 @_q(
@@ -165,42 +164,16 @@ def drift_tvd_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window covers every consecutive-week comparison with no self-join.
     Plan: histogram agg Exchange, contribution fan-out x2 (bounded),
     window over |bins|-sized partitions, tiny final agg."""
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    from mintpy_spark.operators.bitmap import epoch_day
+    from mintpy_spark.operators.drift import consecutive_week_bins
 
-    base = ev.groupBy(
-        "event_type",
-        F.expr(
-            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS BIGINT)"
-        ).alias("wk"),
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    t = consecutive_week_bins(
+        ev,
         F.least(
             F.greatest(F.floor(F.col("value") / 50).cast("long"), F.lit(0)),
             F.lit(9),
-        ).alias("bin"),
-    ).agg(F.count(F.lit(1)).alias("c"))
-    # the histogram feeds both contribution sides; persist so the raw
-    # scan + agg run once (plan audit: 2 scans -> 1)
-    base = persist_slot(base, _HIST_SLOT)
-    zero = F.lit(0).cast("long")
-    cur_side = base.select(
-        "event_type", F.col("wk").alias("pw"), "bin",
-        F.col("c").alias("cur"), zero.alias("prev"),
+        ),
     )
-    prev_side = base.select(
-        "event_type", (F.col("wk") + 1).alias("pw"), "bin",
-        zero.alias("cur"), F.col("c").alias("prev"),
-    )
-    g = (
-        cur_side.unionByName(prev_side)
-        .groupBy("event_type", "pw", "bin")
-        .agg(F.sum("cur").alias("cur"), F.sum("prev").alias("prev"))
-    )
-    w = Window.partitionBy("event_type", "pw")
-    t = g.select(
-        "event_type", "pw", "bin", "cur", "prev",
-        F.sum("cur").over(w).alias("tc"),
-        F.sum("prev").over(w).alias("tp"),
-    ).where((F.col("tc") > 0) & (F.col("tp") > 0))
     return t.groupBy("event_type", F.col("pw").alias("wk")).agg(
         F.max("tp").cast("long").alias("n_prev"),
         F.max("tc").cast("long").alias("n_cur"),
