@@ -536,3 +536,54 @@ def sq_topk_oracle_sql(
       FROM embeddings {where}
     ) ORDER BY qdot DESC, vec_id LIMIT {k}
     """
+
+
+def top_eigen(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+) -> "list[tuple[list, float]]":
+    """Dominant eigenvector + eigenvalue of the embedding second-moment
+    matrix by POWER ITERATION — the PCA-lite primitive behind embedding
+    whitening, drift detection, and anisotropy audits.
+
+    Each iteration is ONE distributed pass: stage the scalar projection
+    d = x.v row-locally (zip_with fold against the broadcast-literal
+    vector), then accumulate w = sum_rows x * d via a bounded
+    posexplode (x ``dim`` fan-out) into a ``dim``-row hash agg; the
+    driver holds only the dim-float vector between iterations.  At
+    10^12 rows: persist the input once, k iterations = k narrow jobs,
+    no gram matrix ever materializes (dim^2 would be fine; row x dim
+    never leaves the executors).
+
+    Float sums are order-dependent across partitionings (last-ulp), so
+    this is a rows-only registry citizen — accuracy is pinned by the
+    seed-and-recover pytest against numpy.linalg.eigh instead of a SQL
+    oracle.  Returns [(vector, eigenvalue_estimate)].
+    """
+    import math
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    lam = 0.0
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps = (
+            df.select(d.alias("_d"), F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("_d")).alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in comps:
+            w[r["i"]] = r["w"]
+        lam = math.sqrt(sum(c * c for c in w))  # ||Av|| with unit v
+        if lam == 0.0:
+            break
+        v = [c / lam for c in w]
+    return [(v, lam)]

@@ -415,6 +415,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3bb  # noqa: F401  (lift/TVD-drift/concurrency queries)
     import mintpy_spark.queries_r3cc  # noqa: F401  (bloom-prune/Wilson/RFM queries)
     import mintpy_spark.queries_r3dd  # noqa: F401  (skew-audit/KS-drift queries)
+    import mintpy_spark.queries_r3ee  # noqa: F401  (sliding-HDR/eigen queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -519,7 +520,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (cooccurrence_lift_daily, drift_tvd_weekly, sessions_concurrent_peak)
 # and the batch-cc three (bloom_join_prune, conversion_rate_wilson,
 # rfm_segments) and the batch-dd two (skew_audit_user_key,
-# ks_drift_weekly).
+# ks_drift_weekly) and the batch-ee two (rollup_7d_sliding_p99_hdr,
+# embedding_top_eigen — the latter rows-only).
 
 
 def _ordered(d: dict) -> dict:

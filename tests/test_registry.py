@@ -8,7 +8,14 @@ import inspect
 
 # Rows-only queries (no SQL oracle) must each carry a documented reason in
 # their docstring/registration comment; everything else needs an oracle.
-ROWS_ONLY_OK = {"velocity_timefunc_full", "gaussian_smooth", "velocity_dem_pattern"}
+ROWS_ONLY_OK = {
+    "velocity_timefunc_full",
+    "gaussian_smooth",
+    "velocity_dem_pattern",
+    # power iteration: float sum order is partitioning-dependent at the
+    # last ulp; accuracy pinned by the numpy seed-and-recover pytest
+    "embedding_top_eigen",
+}
 
 
 def test_registry_matches_frozen_manifest():
