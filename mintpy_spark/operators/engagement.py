@@ -49,9 +49,14 @@ def daily_actives(
     so a silent day inside a busy week emits no row.
     """
     assert window >= 1
-    ud = events.select(
-        F.col(user_col).alias("user_id"), epoch_day(ts_col).alias("ed")
-    ).distinct()
+    # NULL users are excluded on BOTH engines: count_distinct drops NULL
+    # while the dau tag-sum would keep it, so an anonymous row would make
+    # dau exceed wau and fork from the oracle (review finding)
+    ud = (
+        events.where(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("user_id"), epoch_day(ts_col).alias("ed"))
+        .distinct()
+    )
     # ONE downstream pass: each distinct user-day fans into its `window`
     # covered window-ends, tagged whether it is the self-day (offset 0).
     # DAU(wd) = count of self-tags (unique per (user, wd) since ud is
@@ -150,9 +155,12 @@ def growth_accounting(
     disappear between consecutive epochs) in the network-modification
     step.
     """
-    ud = events.select(
-        F.col(user_col).alias("user_id"), epoch_day(ts_col).alias("ed")
-    ).distinct()
+    # NULL users excluded (same parity rationale as daily_actives)
+    ud = (
+        events.where(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("user_id"), epoch_day(ts_col).alias("ed"))
+        .distinct()
+    )
     w = Window.partitionBy("user_id").orderBy("ed")
     tagged = ud.select(
         "user_id",

@@ -59,11 +59,18 @@ def sessionize_oracle_sql(
     table: str = "events", key: str = "user_id", ts: str = "ts",
     value_col: str = "value", gap_seconds: int = 1800,
 ) -> str:
-    """Portable lag/cumsum formulation producing identical sessions."""
+    """Portable lag/cumsum formulation producing identical sessions.
+
+    Boundary semantics verified against Spark's session_window: an event
+    EXACTLY ``gap_seconds`` after its predecessor still MERGES (the
+    window extends to ts + gap inclusive), so a new session starts only
+    when the lag is STRICTLY greater — hence ``<=`` keeps, not ``<``.
+    The sessions_concurrent_peak oracle composes over THIS function so
+    the boundary rule can never fork again."""
     return f"""
     WITH flagged AS (
       SELECT {key}, {ts}, {value_col},
-             CASE WHEN {ts} - lag({ts}) OVER w < INTERVAL {gap_seconds} SECOND
+             CASE WHEN {ts} - lag({ts}) OVER w <= INTERVAL {gap_seconds} SECOND
                   THEN 0 ELSE 1 END AS new_session
       FROM {table}
       WINDOW w AS (PARTITION BY {key} ORDER BY {ts})

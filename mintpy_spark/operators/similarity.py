@@ -564,6 +564,7 @@ def top_eigen(
     """
     import math
 
+    df = df.persist()  # k iterations re-read this; one materialization
     v = [1.0 / math.sqrt(dim)] * dim
     lam = 0.0
     for _ in range(iters):
@@ -586,4 +587,5 @@ def top_eigen(
         if lam == 0.0:
             break
         v = [c / lam for c in w]
+    df.unpersist()
     return [(v, lam)]

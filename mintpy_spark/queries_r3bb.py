@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mintpy_spark.operators.sessionize import concurrent_peak_daily, sessionize
+from mintpy_spark.operators.sessionize import (
+    concurrent_peak_daily,
+    sessionize,
+    sessionize_oracle_sql,
+)
 from mintpy_spark.plans.cache import persist_slot
 from mintpy_spark.queries import _q, load
 
@@ -36,7 +40,7 @@ _BASKET_SLOT: list = []
       SELECT DISTINCT
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
              user_id, event_type
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), n AS (
       SELECT COUNT(DISTINCT (ed, user_id)) AS total FROM b
     ), m AS (
@@ -68,7 +72,9 @@ def cooccurrence_lift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per basket; margins and the 1-row total are broadcast.  The lift
     division runs in double with the identical expression order on both
     engines (integer products would overflow at production counts)."""
-    ev = load(spark, sf_dir, "events")
+    # NULL users excluded on both engines: COUNT(DISTINCT (ed, user_id))
+    # vs Spark distinct-count disagree on NULL-bearing tuples
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     from mintpy_spark.operators.bitmap import epoch_day
 
     # the basket table feeds FOUR consumers (total, margins, both join
@@ -190,23 +196,14 @@ def drift_tvd_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "sessions_concurrent_peak",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts) > 1800000000
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-    ), sess AS (
-      SELECT user_id,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS sid,
-             ts
-      FROM flagged
+    # the session CTE is sessionize_oracle_sql — the ONE portable session
+    # formulation (boundary rule verified against session_window there);
+    # composing over it means the exact-gap semantics can never fork
+    f"""
+    WITH base AS ({sessionize_oracle_sql()}
     ), iv AS (
-      SELECT epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) + 1 AS e
-      FROM sess GROUP BY user_id, sid
+      SELECT epoch_us(session_start) AS s, epoch_us(session_end) + 1 AS e
+      FROM base
     ), seg AS (
       SELECT t.ed,
              greatest(iv.s, t.ed * 86400000000) AS lo,

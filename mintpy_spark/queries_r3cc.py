@@ -229,7 +229,7 @@ def conversion_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS freq,
              SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mon
       FROM events, g
-      WHERE value IS NOT NULL
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
       GROUP BY user_id, g.maxed
     ), s AS (
       SELECT ntile(5) OVER (ORDER BY rec DESC, user_id) AS r,
@@ -253,7 +253,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns cells with a broadcast threshold table, no global sort.
     Plan here: one user agg Exchange, one single-partition window (the
     documented trade), |cells|-bounded final agg."""
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # NULL users excluded on BOTH engines (ntile tiebreak NULL placement
+    # differs: Spark NULLS FIRST vs DuckDB NULLS LAST — review finding)
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     maxed = ev.agg(
         F.max(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))).alias("maxed")
     )

@@ -29,8 +29,8 @@ from mintpy_spark.queries import _q, load
       SELECT SUM(n) AS total FROM c
     ), r AS (
       SELECT user_id, n,
-             row_number() OVER (ORDER BY n DESC, user_id) AS rnk,
-             SUM(n) OVER (ORDER BY n DESC, user_id
+             row_number() OVER (ORDER BY n DESC, user_id NULLS LAST) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, user_id NULLS LAST
                           ROWS UNBOUNDED PRECEDING) AS cum
       FROM c
     )
@@ -54,7 +54,12 @@ def skew_audit_user_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").alias("total"))
-    wr = Window.orderBy(F.desc("n"), F.col("user_id"))
+    # NULLS LAST explicitly: Spark ascending defaults NULLS FIRST while
+    # DuckDB defaults NULLS LAST — a NULL key tying inside the top-10
+    # would fork the rank order (review finding). The NULL key stays IN
+    # the audit (it is a real hot join key in practice), just ordered
+    # identically on both engines.
+    wr = Window.orderBy(F.desc("n"), F.asc_nulls_last("user_id"))
     r = c.select(
         "user_id",
         "n",

@@ -23,13 +23,9 @@ from pyspark.sql import functions as F
 
 from mintpy_spark.operators.sketch import hdr_merge, hdr_quantiles, hdr_tier
 from mintpy_spark.queries import _q, load
-
-_HDR_BUCKET_SQL = """
-  CASE WHEN cents <= 0 THEN 0
-       ELSE (cents >> greatest(length(bin(cents)) - 4, 0))
-            << greatest(length(bin(cents)) - 4, 0)
-  END
-"""
+# the ONE HDR-bucket oracle recipe — imported, never copied (a bucket-rule
+# fix applied there must reach every HDR oracle; review finding)
+from mintpy_spark.queries_r3t import _HDR_BUCKET_SQL
 
 
 @_q(

@@ -35,7 +35,7 @@ from mintpy_spark.queries import _q, load
     WITH ud AS (
       SELECT DISTINCT user_id,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), dau AS (
       SELECT ed, COUNT(*) AS dau FROM ud GROUP BY 1
     ), cover AS (

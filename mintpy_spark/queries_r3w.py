@@ -98,9 +98,9 @@ def rollup_1d_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH present AS (
       SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), users AS (
-      SELECT DISTINCT user_id FROM events
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
     ), days AS (
       SELECT DISTINCT d FROM present
     ), pos AS (
@@ -146,7 +146,10 @@ def bloom_presence_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 word, no explode) -> one bit_or agg whose Exchange carries 4
     longs per day; the probe is a broadcast-sized join against the
     day-filter table plus one exact-membership left join."""
-    ev = load(spark, sf_dir, "events")
+    # NULL users excluded on BOTH engines: the oracle's JOIN pos USING
+    # (user_id) silently drops NULL while a crossJoin probe grid would
+    # keep it, forking n_probes (review finding)
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     present = ev.select(
         F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
     ).distinct()

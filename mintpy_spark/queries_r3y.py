@@ -32,7 +32,7 @@ from mintpy_spark.queries import _q, load
     WITH ud AS (
       SELECT DISTINCT user_id,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), t AS (
       SELECT user_id, ed,
              lag(ed) OVER (PARTITION BY user_id ORDER BY ed) AS prev,

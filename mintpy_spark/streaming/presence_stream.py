@@ -84,6 +84,9 @@ class PresenceHllMaintainer(TierMaintainer):
             return  # replay of a committed batch (no-op anyway — idempotent)
         if delta_obs.isEmpty():
             return
+        import time as _time
+
+        t0 = _time.time()
         rows = {}
         for name, new in self._deltas(delta_obs).items():
             if committed is not None:
@@ -106,7 +109,7 @@ class PresenceHllMaintainer(TierMaintainer):
                     "part_id": int(batch_id),
                     "input_fp": "delta",
                     "row_count": n,
-                    "wall_ms": 0,
+                    "wall_ms": int((_time.time() - t0) * 1000),
                     "status": "complete",
                 }
                 for name, n in rows.items()
