@@ -416,6 +416,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3cc  # noqa: F401  (bloom-prune/Wilson/RFM queries)
     import mintpy_spark.queries_r3dd  # noqa: F401  (skew-audit/KS-drift queries)
     import mintpy_spark.queries_r3ee  # noqa: F401  (sliding-HDR/eigen queries)
+    import mintpy_spark.queries_r3ff  # noqa: F401  (packing/frontier queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
