@@ -522,7 +522,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # and the batch-cc three (bloom_join_prune, conversion_rate_wilson,
 # rfm_segments) and the batch-dd two (skew_audit_user_key,
 # ks_drift_weekly) and the batch-ee two (rollup_7d_sliding_p99_hdr,
-# embedding_top_eigen — the latter rows-only).
+# embedding_top_eigen — the latter rows-only) and the batch-ff three
+# (pack_concat_chunks, pack_next_fit_bins, crawl_frontier_topk).
 
 
 def _ordered(d: dict) -> dict:
