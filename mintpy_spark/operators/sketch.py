@@ -125,6 +125,60 @@ def kmv_estimate(sketch_df: DataFrame, k: int = 32) -> DataFrame:
     )
 
 
+def kmv_set(
+    df: DataFrame, item_col: str, key_cols: tuple[str, ...], k: int = 32
+) -> DataFrame:
+    """Per-key KMV sketch with no time bucket: (key..., kmv array<long>
+    of the <=k smallest distinct item hashes, ascending). The set-level
+    sibling of kmv_tier — used for audience/segment sketches where the
+    grouping is categorical rather than temporal."""
+    staged = (
+        df.select(*key_cols, portable_hash(F.col(item_col)).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .dropDuplicates([*key_cols, "_h"])
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_h")
+    return (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_intersect_estimate(
+    pairs: DataFrame, a_col: str = "kmv_a", b_col: str = "kmv_b", k: int = 32
+) -> DataFrame:
+    """Theta-style intersection estimate from two KMV sketches on one row.
+
+    theta_s = HASH_SPACE if the sketch is not full (it IS the distinct
+    set) else its k-th minimum; theta = least(theta_a, theta_b); the
+    sample is |{h in A cap B : h < theta}| and the estimate scales the
+    sample by the inverse sampling density SPACE/theta (Dasgupta et al.,
+    "Theta sketch framework", public literature). When both sketches are
+    small theta == SPACE and the 'estimate' is the exact intersection
+    size. All comparisons are long-long; ONE double division at the end,
+    identical expression order to the oracle."""
+    space = F.lit(int(HASH_SPACE)).cast("long")
+    th_a = F.when(F.size(a_col) < k, space).otherwise(F.element_at(a_col, -1))
+    th_b = F.when(F.size(b_col) < k, space).otherwise(F.element_at(b_col, -1))
+    theta = F.least(th_a, th_b)
+    inter = F.array_intersect(F.col(a_col), F.col(b_col))
+    sample = F.size(F.filter(inter, lambda h: h < theta))
+    est = F.round(
+        sample.cast("double") * F.lit(HASH_SPACE) / theta.cast("double"), 2
+    )
+    keep = [c for c in pairs.columns if c not in (a_col, b_col)]
+    return pairs.select(
+        *keep,
+        F.size(a_col).cast("long").alias("n_a"),
+        F.size(b_col).cast("long").alias("n_b"),
+        theta.alias("theta"),
+        sample.cast("long").alias("n_sample"),
+        est.alias("est_common"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min frequency sketch tier
 # ---------------------------------------------------------------------------

@@ -417,6 +417,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3dd  # noqa: F401  (skew-audit/KS-drift queries)
     import mintpy_spark.queries_r3ee  # noqa: F401  (sliding-HDR/eigen queries)
     import mintpy_spark.queries_r3ff  # noqa: F401  (packing/frontier queries)
+    import mintpy_spark.queries_r3gg  # noqa: F401  (zorder/KMV-intersect/Q17 queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
