@@ -149,7 +149,19 @@ class SnapshotStore:
         if not files:
             raise ValueError(f"{table!r} v{v} references no files")
         paths = [os.path.join(self._tdir(table), f) for f in files]
-        return spark.read.parquet(*paths)
+        # mergeSchema: snapshots written before a column was added coexist
+        # with newer files in one manifest (append-time schema evolution);
+        # readers see the union schema with NULLs for pre-evolution files
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def compact(self, spark: SparkSession, table: str, target_files: int = 1) -> int:
+        """Small-file compaction: rewrite the CURRENT snapshot's rows into
+        ``target_files`` files and commit as a new version (old versions
+        keep referencing the old files until expire()). The maintenance
+        companion to continuous upserts, which otherwise accrete one
+        file-set per merge."""
+        cur = self.read(spark, table).coalesce(max(1, int(target_files)))
+        return self._commit(table, self._stage_files(cur, table), "compact")
 
     # -- maintenance -----------------------------------------------------------
     def expire(self, table: str, keep_last: int = 2) -> list[str]:

@@ -71,3 +71,26 @@ def test_expire_gc_keeps_referenced_files(spark, store):
     # surviving versions stay readable after GC
     assert store.read(spark, "t", as_of=2).count() == 1
     assert [r.v for r in store.read(spark, "t").collect()] == ["AA"]
+
+
+def test_schema_evolution_on_append(spark, store):
+    store.write(_df(spark, [(1, "a")]), "t")
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    store.append(evolved, "t")
+    got = store.read(spark, "t")
+    assert set(got.columns) == {"k", "v", "score"}
+    rows = {r.k: r.score for r in got.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+    # pre-evolution snapshot still reads with its own schema
+    assert set(store.read(spark, "t", as_of=1).columns) == {"k", "v"}
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, store):
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    store.write(df.repartition(8), "t")
+    assert len(store.manifest("t", 1)["files"]) == 8
+    v2 = store.compact(spark, "t", target_files=1)
+    assert len(store.manifest("t", v2)["files"]) == 1
+    assert store.read(spark, "t").count() == 100
+    # compaction is a new version; the uncompacted snapshot is intact
+    assert len(store.manifest("t", 1)["files"]) == 8
