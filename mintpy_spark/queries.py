@@ -420,6 +420,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3gg  # noqa: F401  (zorder/KMV-intersect/Q17 queries)
     import mintpy_spark.queries_r3hh  # noqa: F401  (Q19/Q21/Q15 shapes)
     import mintpy_spark.queries_r3ii  # noqa: F401  (coverage/bounce/FK-audit queries)
+    import mintpy_spark.queries_r3jj  # noqa: F401  (bootstrap/rolling-slope queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
