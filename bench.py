@@ -71,6 +71,9 @@ HEADLINE = [
     # decontamination broadcast join
     "dedup_substring_spans",
     "decontaminate_benchmark",
+    # round 3 batch-ff addition: the training-export packing layout
+    # (window cumsum + bounded explode — the pipeline's final stage)
+    "pack_concat_chunks",
 ]
 
 
