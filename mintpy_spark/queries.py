@@ -425,6 +425,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3ll  # noqa: F401  (attribution/mode/streak queries)
     import mintpy_spark.queries_r3mm  # noqa: F401  (search/rank-shift/gini-mix queries)
     import mintpy_spark.queries_r3nn  # noqa: F401  (CUPED/SRM/decile-bounds queries)
+    import mintpy_spark.queries_r3oo  # noqa: F401  (conversion-latency/DiD queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
