@@ -136,3 +136,39 @@ def consecutive_week_bins(
 
 
 _WEEKBIN_SLOT: list = []
+
+
+def dense_week_bins(
+    events: DataFrame,
+    bin_col: Column,
+    nbins: int,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """consecutive_week_bins densified to the FULL fixed bin grid
+    0..nbins-1: bins absent from both weeks still appear with
+    cur=prev=0.  Needed by the drift scores that integrate over the
+    whole support — PSI's smoothed log-ratio and Wasserstein-1's
+    cumulative sum are non-zero at empty bins (unlike KS's max, which
+    is always attained at an occupied bin, or TVD's sum, where empty
+    bins contribute 0).  The grid join is (type, week-pair) x nbins —
+    a broadcast of a literal nbins-row table against the AGGREGATE, so
+    the densification never touches raw rows."""
+    t = consecutive_week_bins(events, bin_col, type_col, ts_col)
+    pairs = t.groupBy("event_type", "pw").agg(
+        F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    spark = events.sparkSession
+    bins = spark.range(nbins).select(F.col("id").cast("long").alias("bin"))
+    grid = pairs.crossJoin(F.broadcast(bins))
+    zero = F.lit(0).cast("long")
+    return grid.join(
+        t.select("event_type", "pw", "bin", "cur", "prev"),
+        ["event_type", "pw", "bin"],
+        "left",
+    ).select(
+        "event_type", "pw", "bin",
+        F.coalesce("cur", zero).alias("cur"),
+        F.coalesce("prev", zero).alias("prev"),
+        "tc", "tp",
+    )

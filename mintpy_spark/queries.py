@@ -426,6 +426,10 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3mm  # noqa: F401  (search/rank-shift/gini-mix queries)
     import mintpy_spark.queries_r3nn  # noqa: F401  (CUPED/SRM/decile-bounds queries)
     import mintpy_spark.queries_r3oo  # noqa: F401  (conversion-latency/DiD queries)
+    import mintpy_spark.queries_r3pp  # noqa: F401  (TPC-H Q5/Q10/Q18 shapes)
+    import mintpy_spark.queries_r3qq  # noqa: F401  (PSI/W1 drift + Mann-Kendall)
+    import mintpy_spark.queries_r3rr  # noqa: F401  (mixture/truncation/calibration)
+    import mintpy_spark.queries_r3ss  # noqa: F401  (ACF/Ljung-Box/Hurst)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -532,7 +536,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # rfm_segments) and the batch-dd two (skew_audit_user_key,
 # ks_drift_weekly) and the batch-ee two (rollup_7d_sliding_p99_hdr,
 # embedding_top_eigen — the latter rows-only) and the batch-ff three
-# (pack_concat_chunks, pack_next_fit_bins, crawl_frontier_topk).
+# (pack_concat_chunks, pack_next_fit_bins, crawl_frontier_topk) —
+# plus every batch gg..pp query (see the _ensure_ext import list); the
+# authoritative rebuild is always (registry) - (keys of every
+# CORRECTNESS_r*.json), not this note.
 
 
 def _ordered(d: dict) -> dict:
