@@ -237,3 +237,73 @@ def pmi_top_pairs(
         .orderBy(F.desc("score"), "tok_a", "tok_b")
         .limit(top_k)
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, logprob): mean add-one-smoothed bigram
+    log-probability of each document under the corpus's own bigram
+    model — the second-order twin of unigram_logprob:
+
+        p(w2 | w1) = (count(w1 w2) + 1) / (count(w1) + V)
+
+    with V the corpus unigram vocabulary (standard Laplace smoothing,
+    e.g. Jurafsky & Martin ch. 3). Catches locally-fluent-but-scrambled
+    text that unigram scoring cannot (every token common, order junk).
+
+    Same exactness discipline as unigram_logprob: every ln is a
+    deterministic double over exact integers, quantized to micro-nats
+    before the per-doc summation.
+
+    Scale shape: the bigram list is built ROW-LOCALLY (one transform
+    over the staged token array — no self-join of the token stream),
+    then exploded once. The unigram table broadcasts (vocabulary-
+    sized); the bigram-frequency join is key-keyed and left to AQE —
+    the bigram vocabulary outgrows a broadcast at corpus scale, and
+    Zipf-hot bigrams are exactly the skewed keys AQE splits. Docs with
+    fewer than 2 tokens are excluded."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    staged = docs.select(
+        id_col, nonempty_tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= 2)
+    k = F.size("_toks") - 1
+    bigrams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_toks", i + 1), F.element_at("_toks", i + 2)
+        ),
+    )
+    bg = staged.select(id_col, F.explode(bigrams).alias("bg")).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
+    toks = docs.select(F.explode(nonempty_tokens(text_col)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    v = uni.agg(F.count("*").alias("_v"))
+    fbg = bg.groupBy("bg").agg(F.count("*").alias("cbg"))
+    lp = F.log(
+        (F.col("cbg") + F.lit(1.0))
+        / (F.col("c").cast("double") + F.col("_v").cast("double"))
+    )
+    lp_q = F.floor(lp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        bg.join(fbg, "bg")
+        .join(F.broadcast(uni), F.col("w1") == F.col("term"))
+        .crossJoin(F.broadcast(v))
+        .select(id_col, lp_q.alias("_lpq"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("_lpq").alias("_s")
+    )
+    return agg.select(
+        id_col,
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(
+            F.col("_s").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(1000000.0)),
+            4,
+        ).alias("logprob"),
+    )
