@@ -433,6 +433,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3tt  # noqa: F401  (TPC-H Q14/Q16/Q20 shapes)
     import mintpy_spark.queries_r3uu  # noqa: F401  (ANOVA/seasonal-index/Welch)
     import mintpy_spark.queries_r3vv  # noqa: F401  (bigram-LM/TTR/vocab-census)
+    import mintpy_spark.queries_r3ww  # noqa: F401  (embedding geometry audits)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
