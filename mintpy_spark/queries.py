@@ -434,6 +434,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3uu  # noqa: F401  (ANOVA/seasonal-index/Welch)
     import mintpy_spark.queries_r3vv  # noqa: F401  (bigram-LM/TTR/vocab-census)
     import mintpy_spark.queries_r3ww  # noqa: F401  (embedding geometry audits)
+    import mintpy_spark.queries_r3xx  # noqa: F401  (paths/LTV-decay/basket)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
