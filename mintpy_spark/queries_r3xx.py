@@ -221,12 +221,18 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     line items, so the pair fan-out is bounded C(25,2) per order and the
     join shuffles once on orderkey. Minimum support 5 keeps noise pairs
     out of the ranking; ranking ties break on the brand pair."""
+    from mintpy_spark.plans.cache import persist_slot
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # one-slot persist: four consumers (marginals, total, both join
+    # sides) must not each re-scan lineitem — the audited plan showed 5
+    # fact scans without it
+    ob = persist_slot(
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .distinct(),
+        _OB_SLOT,
     )
     m = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
     t = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
@@ -262,3 +268,6 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_bp",
         )
     )
+
+
+_OB_SLOT: list = []
