@@ -47,11 +47,16 @@ def test_zorder_skips_more_rowgroups_than_1d_sort(spark, tmp_path, box):
     rows = [(i % n, (i * 7) % n) for i in range(n * n)]
     df = spark.createDataFrame(rows, "x long, y long")
 
+    # partitions=1: a single globally-sorted file per layout. With >1
+    # range partition the boundaries come from RangePartitioner sampling
+    # whose seed derives from rdd.id — suite-order dependent, which made
+    # this test flaky in the full run; one partition skips sampling and
+    # the row-group boxes are fully content-determined.
     zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
-    zorder_layout(df, "x", "y", bits=6, partitions=4).write.option(
+    zorder_layout(df, "x", "y", bits=6, partitions=1).write.option(
         "parquet.block.size", 16 * 1024
     ).parquet(zdir)
-    df.repartitionByRange(4, "x").sortWithinPartitions("x").write.option(
+    df.repartitionByRange(1, "x").sortWithinPartitions("x").write.option(
         "parquet.block.size", 16 * 1024
     ).parquet(xdir)
 
