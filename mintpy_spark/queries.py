@@ -441,6 +441,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3ac  # noqa: F401  (TPC-H Q6/Q2/Q11/Q12 shapes)
     import mintpy_spark.queries_r3ad  # noqa: F401  (pagerank + LSH recall eval)
     import mintpy_spark.queries_r3ae  # noqa: F401  (URL canonicalization census)
+    import mintpy_spark.queries_r3af  # noqa: F401  (winnowing + triangle count)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
