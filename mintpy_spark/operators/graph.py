@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 # Node ids must stay below ID_SPACE; degrees below 2^63 / ID_SPACE.
 ID_SPACE = 1_000_000_000
 
+# One-slot persisted caches (plans/cache.py discipline): the edge list
+# feeds degree census + orientation + counts; the oriented list feeds
+# both wedge sides and the closing join. Without them every consumer
+# re-executes the co-purchase aggregation (the audited unpersisted plan
+# read lineitem 36 times).
+_EDGE_SLOT: list = []
+_ORIENT_SLOT: list = []
+
 
 def copurchase_edges(
     lineitem: DataFrame, min_support: int = 2
@@ -67,6 +75,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     The degree table is |V| rows — broadcast when small, shuffle-join
     on node id otherwise (Spark's planner decides from stats; no
     collect anywhere)."""
+    from mintpy_spark.plans.cache import persist_slot
+
+    edges = persist_slot(edges, _EDGE_SLOT)
     deg = (
         edges.select(F.col("pa").alias("n"))
         .unionAll(edges.select(F.col("pb").alias("n")))
@@ -78,14 +89,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         edges.join(deg.withColumnRenamed("n", "pa").withColumnRenamed("ord", "ord_a"), "pa")
         .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("ord", "ord_b"), "pb")
     )
-    o = e.select(
-        F.when(F.col("ord_a") < F.col("ord_b"), F.col("pa"))
-        .otherwise(F.col("pb"))
-        .alias("src"),
-        F.when(F.col("ord_a") < F.col("ord_b"), F.col("pb"))
-        .otherwise(F.col("pa"))
-        .alias("dst"),
-        F.greatest("ord_a", "ord_b").alias("ord_dst"),
+    o = persist_slot(
+        e.select(
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("pa"))
+            .otherwise(F.col("pb"))
+            .alias("src"),
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("pb"))
+            .otherwise(F.col("pa"))
+            .alias("dst"),
+            F.greatest("ord_a", "ord_b").alias("ord_dst"),
+        ),
+        _ORIENT_SLOT,
     )
     w1 = o.select("src", F.col("dst").alias("v"), F.col("ord_dst").alias("ord_v"))
     w2 = o.select("src", F.col("dst").alias("x"), F.col("ord_dst").alias("ord_x"))

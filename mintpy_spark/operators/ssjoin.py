@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 
 from mintpy_spark.functions.scalars import nonempty_tokens, portable_hash60
 
+# One-slot persisted shingle-set cache (plans/cache.py discipline).
+_SET_SLOT: list = []
+
 
 def shingle_hash_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -82,9 +85,11 @@ def ssjoin_jaccard(
     sets = shingle_hash_sets(docs, id_col, text_col, n=n)
     # cache: the sets table feeds the df census, the prefix explode and
     # the verify join — one computation, three consumers.
-    from mintpy_spark.operators.dedup import _persist_one
+    from mintpy_spark.plans.cache import persist_slot
 
-    sets = _persist_one(sets.withColumn("n", F.size("sh").cast("long")))
+    sets = persist_slot(
+        sets.withColumn("n", F.size("sh").cast("long")), _SET_SLOT
+    )
 
     tok = sets.select(F.col(id_col), F.explode("sh").alias("h"))
     dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

@@ -39,6 +39,9 @@ HASH_SPACE = 1 << 40
 POS_SPACE = 1 << 20
 MAX_POS = POS_SPACE - 1
 
+# One-slot persisted fingerprint cache (plans/cache.py discipline).
+_FP_SLOT: list = []
+
 
 def _kgram_combined(toks: Column, k: int) -> Column:
     """Array of ``hash*2^20 + (MAX_POS - pos)`` per k-gram position —
@@ -57,6 +60,19 @@ def _kgram_combined(toks: Column, k: int) -> Column:
     )
 
 
+def _selected_combined(toks: Column, k: int, w: int) -> Column:
+    """Distinct winnowed selections as a row-local array of packed
+    ``combined`` values: window ends j = w-1 .. n_kgrams-1, selection =
+    min of combined over [j-w+1, j] (1-indexed slice start = j-w+2)."""
+    combined = _kgram_combined(toks, k)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(w - 1), F.size(combined) - 1),
+            lambda j: F.array_min(F.slice(combined, j - (w - 2), w)),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -71,15 +87,7 @@ def winnow_fingerprints(
     t = docs.select(
         F.col(id_col), nonempty_tokens(text_col).alias("_toks")
     ).where(F.size("_toks") >= k + w - 1)
-    combined = _kgram_combined(F.col("_toks"), k)
-    # window ends j = w-1 .. n_kgrams-1; selection = min of combined
-    # over [j-w+1, j] (1-indexed slice start = j-w+2), then distinct.
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(w - 1), F.size(combined) - 1),
-            lambda j: F.array_min(F.slice(combined, j - (w - 2), w)),
-        )
-    )
+    sel = _selected_combined(F.col("_toks"), k, w)
     fp = t.select(F.col(id_col), F.explode(sel).alias("_fp"))
     return fp.select(
         F.col(id_col),
@@ -102,20 +110,20 @@ def winnow_stats(
     """Per-document fingerprint census: (id, n_kgrams, n_fps,
     density_bp). density_bp = floor(n_fps/n_kgrams*10000 + 0.5) — the
     measured winnowing density against the ~2/(w+1) expectation, integer
-    basis points so the value is engine-portable."""
-    fps = winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
-    per = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
-    kg = docs.select(
+    basis points so the value is engine-portable.
+
+    ONE projection, ZERO Exchanges: the selection array is sized
+    row-locally (no explode, no re-aggregation, no second scan)."""
+    t = docs.select(
         F.col(id_col), nonempty_tokens(text_col).alias("_toks")
-    ).where(F.size("_toks") >= k + w - 1).select(
+    ).where(F.size("_toks") >= k + w - 1)
+    n_kgrams = (F.size("_toks") - (k - 1)).cast("long")
+    n_fps = F.size(_selected_combined(F.col("_toks"), k, w)).cast("long")
+    return t.select(
         F.col(id_col),
-        (F.size("_toks") - (k - 1)).cast("long").alias("n_kgrams"),
-    )
-    return kg.join(per, id_col).select(
-        id_col,
-        "n_kgrams",
-        F.col("n_fps").cast("long").alias("n_fps"),
-        F.floor(F.col("n_fps") * 10000 / F.col("n_kgrams") + F.lit(0.5))
+        n_kgrams.alias("n_kgrams"),
+        n_fps.alias("n_fps"),
+        F.floor(n_fps * 10000 / n_kgrams + F.lit(0.5))
         .cast("long")
         .alias("density_bp"),
     )
@@ -137,10 +145,17 @@ def winnow_pairs(
     otherwise create a quadratic bucket; standard LSH-bucket-cap
     discipline, the same move operators/dedup.py's banded paths make).
     The join moves only (doc_id, hash) rows clustered by hash — one
-    shuffle, bucket fan-out bounded by df_cap^2."""
-    f = winnow_fingerprints(docs, id_col, text_col, k=k, w=w).select(
-        F.col(id_col), F.col("fp_hash")
-    ).distinct()
+    shuffle, bucket fan-out bounded by df_cap^2. The distinct
+    fingerprint table is persisted: it feeds the df census AND both
+    sides of the pair join (three consumers, one computation)."""
+    from mintpy_spark.plans.cache import persist_slot
+
+    f = persist_slot(
+        winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col), F.col("fp_hash"))
+        .distinct(),
+        _FP_SLOT,
+    )
     ok = f.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_df")).where(
         (F.col("_df") >= 2) & (F.col("_df") <= df_cap)
     )
