@@ -102,20 +102,21 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     language; off-diagonal mass tells a curation pipeline which language
     pairs need stronger profiles before langid gates ingestion. One
     classify pass (broadcast profile join) + two tiny aggs."""
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     cls = classify(d)
     lab = d.select("doc_id", F.col("lang").alias("label")).join(
         cls.select("doc_id", "guess"), "doc_id"
     )
-    tot = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        lab.groupBy("label", "guess")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(tot), "label")
-        .select(
-            "label", "guess", "cnt",
-            F.expr("(20000 * cnt + n) DIV (2 * n)").cast("long").alias("share_bp"),
-        )
+    # per-label totals come from the GROUPED matrix via a window (the
+    # matrix is ~|langs|^2 rows), not a second aggregation of lab —
+    # which would re-execute the whole classify pass (6 scans -> 3).
+    g = lab.groupBy("label", "guess").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("label"))
+    return g.withColumn("n", n).select(
+        "label", "guess", "cnt",
+        F.expr("(20000 * cnt + n) DIV (2 * n)").cast("long").alias("share_bp"),
     )
 
 

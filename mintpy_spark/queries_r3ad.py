@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mintpy_spark.operators import dedup as D
+from mintpy_spark.plans.cache import persist_slot
 from mintpy_spark.queries import _q, load
+
+# One-slot caches for the recall eval's pair tables — each feeds its
+# own count AND the hit join; unpersisted, both rebuilt twice (the
+# audited plan scanned documents 9 times).
+_TRUTH_SLOT: list = []
+_PRED_SLOT: list = []
 
 _SCALE = 10**12
 
@@ -178,6 +185,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(inter.cast("double") / union >= 0.5)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    truth = persist_slot(truth, _TRUTH_SLOT)
     src = d.select("doc_id", "source")
     pred = (
         D.minhash_near_dups(d, threshold=0.5)
@@ -187,6 +195,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src_a") == F.col("source"))
         .select("doc_a", "doc_b")
     )
+    pred = persist_slot(pred, _PRED_SLOT)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
     n_hit = truth.join(pred, ["doc_a", "doc_b"]).agg(

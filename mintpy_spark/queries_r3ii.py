@@ -157,33 +157,67 @@ def session_bounce_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: orphan counts for each FK edge, one
-    left-anti join per edge with the dimension side broadcast. The fact
-    table is scanned once per edge with only the key column read."""
+    """Referential-integrity audit: orphan counts for each FK edge.
+
+    ONE pass over each fact table: lineitem's three FK edges share a
+    single key-pruned scan with three broadcast LEFT joins (a null dim
+    key = an orphan), folded by one agg; orders->customer is the same
+    one-pass shape. The per-edge anti-join form scanned lineitem six
+    times — at 100 TB the fact scan IS the cost, so edges must share
+    it. Dim keys are primary keys, so the left joins cannot fan out."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    edges = [
-        ("lineitem->orders", li.select(F.col("l_orderkey").alias("k")),
-         o.select(F.col("o_orderkey").alias("k"))),
-        ("lineitem->part", li.select(F.col("l_partkey").alias("k")),
-         load(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))),
-        ("lineitem->supplier", li.select(F.col("l_suppkey").alias("k")),
-         load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))),
-        ("orders->customer", o.select(F.col("o_custkey").alias("k")),
-         load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))),
-    ]
-    outs = []
-    for name, fact, dim in edges:
-        n = fact.agg(F.count(F.lit(1)).alias("n_rows"))
-        orphans = fact.join(F.broadcast(dim), "k", "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphan")
+    ok = o.select(F.col("o_orderkey").alias("_ok"))
+    pk = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("_pk"))
+    sk = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("_sk")
+    )
+    ck = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("_ck")
+    )
+
+    def _miss(col: str):
+        return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long")
+
+    li_agg = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(F.broadcast(ok), F.col("l_orderkey") == F.col("_ok"), "left")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("_pk"), "left")
+        .join(F.broadcast(sk), F.col("l_suppkey") == F.col("_sk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _miss("_ok").alias("no_o"),
+            _miss("_pk").alias("no_p"),
+            _miss("_sk").alias("no_s"),
         )
-        outs.append(
-            n.crossJoin(orphans).select(
-                F.lit(name).alias("fk"), "n_rows", "n_orphan"
-            )
-        )
-    out = outs[0]
-    for d in outs[1:]:
-        out = out.unionAll(d)
-    return out
+    )
+    o_agg = (
+        o.select("o_custkey")
+        .join(F.broadcast(ck), F.col("o_custkey") == F.col("_ck"), "left")
+        .agg(F.count(F.lit(1)).alias("n"), _miss("_ck").alias("no_c"))
+    )
+
+    def _rows(agg, triples):
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(fk).alias("fk"),
+                            F.col("n").alias("n_rows"),
+                            F.col(c).alias("n_orphan"),
+                        )
+                        for fk, c in triples
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+
+    return _rows(
+        li_agg,
+        [
+            ("lineitem->orders", "no_o"),
+            ("lineitem->part", "no_p"),
+            ("lineitem->supplier", "no_s"),
+        ],
+    ).unionAll(_rows(o_agg, [("orders->customer", "no_c")]))
