@@ -33,6 +33,7 @@ from mintpy_spark.queries import _q, load
 # audited plan scanned documents 9 times).
 _TRUTH_SLOT: list = []
 _PRED_SLOT: list = []
+_PR_EDGE_SLOT: list = []
 
 _SCALE = 10**12
 
@@ -86,7 +87,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e = e.persist()
+    e = persist_slot(e, _PR_EDGE_SLOT)
     dc = e.groupBy("c").agg(F.count(F.lit(1)).alias("dcnt"))
     dp = e.groupBy("p").agg(F.count(F.lit(1)).alias("dpnt"))
     nn = dc.agg(F.count(F.lit(1)).alias("n_c")).crossJoin(
