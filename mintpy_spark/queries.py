@@ -443,6 +443,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3ae  # noqa: F401  (URL canonicalization census)
     import mintpy_spark.queries_r3af  # noqa: F401  (winnowing + triangle count)
     import mintpy_spark.queries_r3ag  # noqa: F401  (exact prefix-filter ssjoin)
+    import mintpy_spark.queries_r3ah  # noqa: F401  (water-filling crawl budget)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
