@@ -73,6 +73,34 @@ def _selected_combined(toks: Column, k: int, w: int) -> Column:
     )
 
 
+def _guarded_tokens(
+    docs: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """(id, _toks) for docs long enough to carry a window, failing
+    LOUDLY (assert_true at execution) on any document whose k-gram
+    count exceeds the 2^20 position packing — silent position
+    wraparound would corrupt fingerprints; a >1M-token document needs
+    a wider packing, not a wrong answer."""
+    return docs.select(
+        F.col(id_col), nonempty_tokens(text_col).alias("_toks")
+    ).where(
+        (F.size("_toks") >= k + w - 1)
+        # coalesce(.., True): NULL text yields NULL size — those rows are
+        # dropped by the length filter above, and assert_true(NULL) would
+        # throw, so the assert must see True for them regardless of the
+        # engine's predicate evaluation order.
+        & F.assert_true(
+            F.coalesce(
+                F.size("_toks") - (k - 1) <= F.lit(POS_SPACE), F.lit(True)
+            ),
+            F.lit(
+                f"winnow: document exceeds {POS_SPACE} k-grams; "
+                "positions would wrap the 2^20 packing"
+            ),
+        ).isNull()
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -84,9 +112,7 @@ def winnow_fingerprints(
     each document. Documents with fewer than ``k + w - 1`` tokens carry
     no full window and are omitted (the guarantee threshold — shorter
     matches are invisible to winnowing by construction)."""
-    t = docs.select(
-        F.col(id_col), nonempty_tokens(text_col).alias("_toks")
-    ).where(F.size("_toks") >= k + w - 1)
+    t = _guarded_tokens(docs, id_col, text_col, k, w)
     sel = _selected_combined(F.col("_toks"), k, w)
     fp = t.select(F.col(id_col), F.explode(sel).alias("_fp"))
     return fp.select(
@@ -114,9 +140,7 @@ def winnow_stats(
 
     ONE projection, ZERO Exchanges: the selection array is sized
     row-locally (no explode, no re-aggregation, no second scan)."""
-    t = docs.select(
-        F.col(id_col), nonempty_tokens(text_col).alias("_toks")
-    ).where(F.size("_toks") >= k + w - 1)
+    t = _guarded_tokens(docs, id_col, text_col, k, w)
     n_kgrams = (F.size("_toks") - (k - 1)).cast("long")
     n_fps = F.size(_selected_combined(F.col("_toks"), k, w)).cast("long")
     return t.select(

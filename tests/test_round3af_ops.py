@@ -102,3 +102,25 @@ def test_triangle_skew_star_plus_triangle(spark):
     r = _tri(spark, [(min(a, b), max(a, b)) for a, b in star + tri])
     assert r.n_triangles == 1
     assert r.n_nodes == 15 and r.n_edges == 15
+
+
+def test_winnow_position_overflow_guard(spark):
+    """A document whose k-gram count exceeds the 2^20 position packing
+    must fail LOUDLY at execution (assert_true), never wrap silently;
+    docs at or under the limit (and NULL text) pass through unharmed."""
+    import pytest
+    from mintpy_spark.operators.winnow import winnow_stats
+
+    # 30 tokens: comfortably under the limit — runs clean, NULL text too.
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(30))), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = winnow_stats(ok, k=K, w=W).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+
+    # POS_SPACE + K tokens -> POS_SPACE + 1 k-grams: one over the packing.
+    big = " ".join("x%d" % (i % 97) for i in range(POS_SPACE + K))
+    bad = spark.createDataFrame([(3, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match="exceeds|wrap|ASSERT"):
+        winnow_stats(bad, k=K, w=W).collect()
