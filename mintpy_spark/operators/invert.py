@@ -68,6 +68,7 @@ def network_invert(
     weight_col: str | None = None,
     sigma_col: str | None = None,
     min_redundancy: int = 1,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Per-key network LS inversion.
 
@@ -227,4 +228,161 @@ def network_invert(
     cols = [key, ts1, ts2, delta_col] + ([weight_col] if weight_col else [])
     if sigma_col is not None and sigma_col not in cols:
         cols.append(sigma_col)
-    return pairs.select(*cols).groupBy(key).applyInPandas(solve, schema)
+    if sigma_col is not None:
+        # covariance propagation needs the per-key pseudo-inverse — stays
+        # on the one-group-per-key path (rare, explicitly requested)
+        return pairs.select(*cols).groupBy(key).applyInPandas(solve, schema)
+
+    # ---- batched path (the default): cohort keys by network STRUCTURE --
+    #
+    # The reference inverts all pixels sharing a design matrix in ONE
+    # matrix-RHS solve (ifgram_inversion.py:368-389 operates on a
+    # (num_pairs x num_pixels) block, not pixel-at-a-time). The Spark
+    # analog: group keys into hash buckets (bounded Arrow batches, any
+    # bucket count is correct — keys are independent), and inside the UDF
+    # cohort keys whose (di, dj) index structure is identical after
+    # mapping timestamps to sorted-date positions. One Laplacian
+    # factorization then solves EVERY key in the cohort via a matrix RHS
+    # — per-key cost drops from (frame build + factorize + solve) to one
+    # column of a LAPACK multi-RHS triangular solve. At 10^12-key scale
+    # set num_buckets ~ total_pairs / (rows per executor-comfortable
+    # batch); the per-bucket working set is what must fit in memory.
+    if num_buckets is None:
+        num_buckets = max(
+            pairs.sparkSession.sparkContext.defaultParallelism * 4, 8
+        )
+
+    def solve_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # same row filters as the per-key path (skip_invalid_obs)
+        pdf = pdf[
+            pdf[delta_col].notna()
+            & pdf[ts1].notna()
+            & pdf[ts2].notna()
+            & (pdf[ts1] != pdf[ts2])
+        ]
+        if weight_col is not None:
+            w_ok = pd.to_numeric(pdf[weight_col], errors="coerce")
+            pdf = pdf[np.isfinite(w_ok) & (w_ok > 0)]
+        if len(pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        # canonical pair order so identical networks hash to one cohort
+        pdf = pdf.sort_values([key, ts1, ts2], kind="mergesort")
+        kvals = pdf[key].to_numpy()
+        t1v, t2v = pdf[ts1].to_numpy(), pdf[ts2].to_numpy()
+        dv = pdf[delta_col].to_numpy(dtype=np.float64)
+        wall = (
+            pdf[weight_col].to_numpy(dtype=np.float64)
+            if weight_col is not None
+            else None
+        )
+        # use_na_sentinel=False: a NULL key must get a REAL code (the
+        # default -1 sentinel breaks the sorted-boundary searchsorted —
+        # NaN sorts last but -1 is the smallest code), preserving the
+        # per-key path's behavior of emitting a NULL-keyed group
+        kcodes, kuniq = pd.factorize(kvals, use_na_sentinel=False)
+        starts = np.searchsorted(kcodes, np.arange(len(kuniq)))
+        ends = np.append(starts[1:], len(kcodes))
+        cohorts: dict = {}
+        for g in range(len(kuniq)):
+            s, e = int(starts[g]), int(ends[g])
+            dates = np.unique(np.concatenate([t1v[s:e], t2v[s:e]]))
+            di = np.searchsorted(dates, t1v[s:e]).astype(np.int64)
+            dj = np.searchsorted(dates, t2v[s:e]).astype(np.int64)
+            sig = (len(dates), di.tobytes(), dj.tobytes())
+            cohorts.setdefault(sig, []).append((g, s, e, dates, di, dj))
+
+        o_key, o_ts, o_val, o_npr, o_ndt, o_coh = [], [], [], [], [], []
+        for sig, members in cohorts.items():
+            n_dates = sig[0]
+            _, _, _, _, di, dj = members[0]
+            n_pairs, m = len(di), len(members)
+            touch = np.bincount(di, minlength=n_dates) + np.bincount(
+                dj, minlength=n_dates
+            )
+            if n_dates < 2 or int(touch[1:].min()) < min_redundancy:
+                for g, s, e, dates, _, _ in members:
+                    o_key.append(np.repeat(kuniq[g], n_dates))
+                    o_ts.append(dates)
+                    o_val.append(np.full(n_dates, np.nan))
+                    o_npr.append(np.full(n_dates, n_pairs, dtype=np.int64))
+                    o_ndt.append(np.full(n_dates, n_dates, dtype=np.int64))
+                    o_coh.append(np.zeros(n_dates))
+                continue
+            conn = _connected(di, dj, n_dates)
+            D = np.stack([dv[s:e] for _, s, e, _, _, _ in members], axis=1)
+            A = None  # dense incidence, built lazily per cohort
+
+            def _dense_A():
+                Ad = np.zeros((n_pairs, n_dates), dtype=np.float64)
+                rows = np.arange(n_pairs)
+                Ad[rows, di] = -1.0
+                Ad[rows, dj] = 1.0
+                return Ad[:, 1:]
+
+            if weight_col is None and conn:
+                lap = np.zeros((n_dates, n_dates), dtype=np.float64)
+                one = np.ones(n_pairs)
+                np.add.at(lap, (di, di), one)
+                np.add.at(lap, (dj, dj), one)
+                np.add.at(lap, (di, dj), -one)
+                np.add.at(lap, (dj, di), -one)
+                rhs = np.zeros((n_dates, m), dtype=np.float64)
+                np.add.at(rhs, dj, D)
+                np.add.at(rhs, di, -D)
+                M = np.linalg.solve(lap[1:, 1:], rhs[1:])
+            elif weight_col is None:
+                A = _dense_A()
+                M = np.linalg.lstsq(A, D, rcond=None)[0]
+            else:
+                # weights differ per key: structure shared, factorization
+                # not — loop keys but keep everything in numpy
+                M = np.empty((n_dates - 1, m), dtype=np.float64)
+                for c, (g, s, e, dates, _, _) in enumerate(members):
+                    w, d = wall[s:e], dv[s:e]
+                    mk = None
+                    if conn:
+                        lap = np.zeros((n_dates, n_dates), dtype=np.float64)
+                        np.add.at(lap, (di, di), w)
+                        np.add.at(lap, (dj, dj), w)
+                        np.add.at(lap, (di, dj), -w)
+                        np.add.at(lap, (dj, di), -w)
+                        rhs = np.zeros(n_dates, dtype=np.float64)
+                        np.add.at(rhs, dj, w * d)
+                        np.add.at(rhs, di, -(w * d))
+                        try:
+                            mk = np.linalg.solve(lap[1:, 1:], rhs[1:])
+                        except np.linalg.LinAlgError:
+                            mk = None
+                    if mk is None:
+                        if A is None:
+                            A = _dense_A()
+                        ws = np.sqrt(w)
+                        mk = np.linalg.lstsq(
+                            A * ws[:, None], d * ws, rcond=None
+                        )[0]
+                    M[:, c] = mk
+            M_full = np.vstack([np.zeros((1, m)), M])
+            resid = D - (M_full[dj] - M_full[di])
+            coh = np.abs(np.exp(1j * resid).sum(axis=0)) / n_pairs
+            for c, (g, s, e, dates, _, _) in enumerate(members):
+                o_key.append(np.repeat(kuniq[g], n_dates))
+                o_ts.append(dates)
+                o_val.append(M_full[:, c])
+                o_npr.append(np.full(n_dates, n_pairs, dtype=np.int64))
+                o_ndt.append(np.full(n_dates, n_dates, dtype=np.int64))
+                o_coh.append(np.full(n_dates, coh[c]))
+        return pd.DataFrame(
+            {
+                key: np.concatenate(o_key),
+                "ts": np.concatenate(o_ts),
+                "value": np.concatenate(o_val),
+                "num_pairs": np.concatenate(o_npr),
+                "num_dates": np.concatenate(o_ndt),
+                "coherence": np.concatenate(o_coh),
+            }
+        )
+
+    bucketed = pairs.select(*cols).withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(key)), F.lit(int(num_buckets)))
+    )
+    return bucketed.groupBy("_b").applyInPandas(solve_bucket, schema)

@@ -212,3 +212,55 @@ def test_zero_weight_bridge_falls_back_to_min_norm(spark):
     )
     expect = _numpy_solve(dates, pdf, w=pdf["w"].to_numpy())
     assert np.allclose(out["value"].to_numpy()[1:], expect, atol=1e-8)
+
+
+def test_batched_matches_per_key_path(spark):
+    """The structure-cohort batched path (default) must reproduce the
+    per-key path (forced via sigma_col) exactly — across mixed network
+    structures in one bucket, a NULL key, a disconnected network
+    (min-norm lstsq), and a below-redundancy key (NaN rows)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # three keys sharing a lag-1+2 chain structure (one cohort), one of
+    # them the NULL key
+    for u in (1, 2, None):
+        for i in range(4):
+            for lag in (1, 2):
+                if i + lag <= 4:
+                    rows.append(
+                        (u, base + dt.timedelta(days=i),
+                         base + dt.timedelta(days=i + lag),
+                         float((i + lag) ** 2 - i * i), 1.0)
+                    )
+    # a key with a DIFFERENT structure (plain chain, 3 dates)
+    for i in range(2):
+        rows.append((7, base + dt.timedelta(days=i),
+                     base + dt.timedelta(days=i + 1), 1.0, 1.0))
+    # a disconnected network: two chains with no bridge — each edge
+    # doubled so every date clears min_redundancy=2 (redundancy counts
+    # pair touches, not connectivity)
+    rows += [
+        (8, base, base + dt.timedelta(days=1), 1.0, 1.0),
+        (8, base, base + dt.timedelta(days=1), 1.2, 1.0),
+        (8, base + dt.timedelta(days=3), base + dt.timedelta(days=4), 2.0, 1.0),
+        (8, base + dt.timedelta(days=3), base + dt.timedelta(days=4), 2.2, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts1 timestamp, ts2 timestamp, delta double, sig double"
+    )
+    kw = dict(key="user_id", ts1="ts1", ts2="ts2")
+    bat = (network_invert(df, **kw, min_redundancy=2)
+           .orderBy("user_id", "ts").toPandas())
+    per = (network_invert(df, **kw, min_redundancy=2, sigma_col="sig")
+           .orderBy("user_id", "ts").toPandas().drop(columns=["value_std"]))
+    assert len(bat) == len(per) > 0
+    pd.testing.assert_frame_equal(
+        bat.reset_index(drop=True), per.reset_index(drop=True),
+        check_exact=False, atol=1e-9,
+    )
+    # key 7 (chain, redundancy 1 < 2) must be NaN-valued in BOTH paths
+    assert bat[bat.user_id == 7]["value"].isna().all()
+    # key 8 (disconnected) gets the min-norm solution, non-NaN
+    assert bat[bat.user_id == 8]["value"].notna().all()
