@@ -179,3 +179,80 @@ def winsorized_daily_stats(
             F.sum(q(F.col("v"))).cast("long").alias("rsum_c"),
         )
     )
+
+
+def siegel_velocity(
+    obs: DataFrame,
+    value_col: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    max_lag: int = 10,
+    ref_year: float = 2024.0,
+) -> DataFrame:
+    """(key, velocity, num_points): Siegel repeated-median slope per key —
+    median over observations i of (median over in-band neighbors j of
+    slope(i, j)). Public literature (Siegel 1982, Biometrika): the nested
+    median lifts the breakdown point from Theil-Sen's 29.3% to 50%, the
+    strongest possible — the estimator a crawl pipeline wants when entire
+    sub-ranges of a page's history are bot-rewritten, not just isolated
+    epochs (the reference's per-epoch analog is MAD exclusion,
+    src/mintpy/timeseries_rms.py:35-72; this is the estimator-side
+    counterpart one rung above theil_sen_velocity).
+
+    Band: neighbors within ``max_lag`` ranks on EITHER side (symmetric,
+    unlike Theil-Sen's forward band — the inner median needs each center
+    observation's own neighbor set). Slope sign is direction-invariant
+    ((-a)/(-b) == a/b exactly in IEEE), so engine lag/lead slopes equal
+    the oracle's (b.v - a.v)/(b.t - a.t) bit-for-bit.
+
+    Exactness: the inner median is computed ROW-LOCALLY from the sorted
+    in-band slope array with the standard linear-interpolation convention
+    (odd -> middle element; even -> mean of the two middles — the same
+    convention as Spark percentile(0.5) and DuckDB quantile_cont(0.5),
+    which the outer median uses). Equal-timestamp neighbor pairs are
+    excluded on both sides (strict t inequality), so no division by zero.
+
+    Scale shape: ONE hash shuffle on ``key`` (the window's); the 2L lag/
+    lead slope columns are one window pass, the inner median is pure
+    array code in whole-stage codegen, and the outer groupBy(key) reuses
+    the window's partitioning. No self-join exists in the plan."""
+    base = obs.select(
+        F.col(key).alias("k"),
+        (decimal_year(F.col(ts)) - F.lit(ref_year)).alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(ts).alias("_ts"),
+    )
+    w = Window.partitionBy("k").orderBy("_ts")
+    neighbor_slopes = []
+    for j in range(1, int(max_lag) + 1):
+        for other_t, other_v in (
+            (F.lag("t", j).over(w), F.lag("v", j).over(w)),
+            (F.lead("t", j).over(w), F.lead("v", j).over(w)),
+        ):
+            neighbor_slopes.append(
+                F.when(
+                    other_t.isNotNull() & (other_t != F.col("t")),
+                    (other_v - F.col("v")) / (other_t - F.col("t")),
+                )
+            )
+    slopes = F.array_sort(
+        F.filter(F.array(*neighbor_slopes), lambda x: x.isNotNull())
+    )
+    n = F.size(slopes)
+    lo_mid = F.element_at(slopes, (n / 2).cast("int"))
+    hi_mid = F.element_at(slopes, (n / 2 + 1).cast("int"))
+    # CaseWhen branches evaluate lazily, so n == 0 (a key with a single
+    # usable observation) falls through to NULL without ever touching
+    # element_at(slopes, 0); interpolation is lower + (upper-lower)*0.5,
+    # the quantile_cont form both engines' outer median also uses.
+    inner_median = F.when(
+        n % 2 == 1, F.element_at(slopes, ((n + 1) / 2).cast("int"))
+    ).when(n >= 2, lo_mid + (hi_mid - lo_mid) * F.lit(0.5))
+    mi = (
+        base.select("k", inner_median.alias("_mi"))
+        .where(F.col("_mi").isNotNull())
+    )
+    return mi.groupBy(F.col("k").alias(key)).agg(
+        F.expr("percentile(_mi, 0.5)").alias("velocity"),
+        F.count("_mi").alias("num_points"),
+    )

@@ -603,3 +603,43 @@ def cascade_openclose(tier_df: DataFrame, to_tier: str, key: str = "url") -> Dat
             "cnt",
         )
     )
+
+
+def rollup_hilo(
+    obs: DataFrame, value_col: str, tier: str = "1d", key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Extremum-with-timestamp tier (the "time of daily high/low" panel
+    every monitoring UI draws next to open/close): per (key, bucket) the
+    max and min value AND the timestamp each was first reached.
+
+    Determinism: hi is max over struct(v, -micros, t) — lexicographic
+    struct comparison picks the largest value and, among ties, the
+    EARLIEST timestamp (negated microseconds invert the time order inside
+    the struct max; the raw timestamp rides along as the third field).
+    lo symmetrically via struct-min with +micros. First-reached ties are
+    therefore engine- and partitioning-independent, unlike a bare
+    argmax-by-value. ONE map-side-combining hash aggregation, and the
+    partial merges associatively into coarser tiers (same property as
+    rollup_openclose)."""
+    v = F.col(value_col).cast("double")
+    mic = F.unix_micros(F.col(ts).cast("timestamp"))
+    hi = F.max(
+        F.struct(v.alias("v"), (-mic).alias("_nm"), F.col(ts).alias("t"))
+    ).alias("_hi")
+    lo = F.min(
+        F.struct(v.alias("v"), mic.alias("_m"), F.col(ts).alias("t"))
+    ).alias("_lo")
+    return (
+        obs.where(v.isNotNull())
+        .select(key, bucket_start(F.col(ts), tier).alias("bucket_start"),
+                F.col(ts).alias(ts), v.alias(value_col))
+        .groupBy(key, "bucket_start")
+        .agg(hi, lo, F.count(value_col).alias("cnt"))
+        .select(
+            key, "bucket_start",
+            F.col("_hi.v").alias("hi_v"), F.col("_hi.t").alias("hi_t"),
+            F.col("_lo.v").alias("lo_v"), F.col("_lo.t").alias("lo_t"),
+            "cnt",
+        )
+    )

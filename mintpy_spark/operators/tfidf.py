@@ -307,3 +307,174 @@ def bigram_logprob(
             4,
         ).alias("logprob"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(rank, id, score_micro, n_terms): BM25-ranked top-k documents for a
+    bag of query terms (Robertson/Sparck-Jones probabilistic ranking, the
+    Lucene/Okapi variant with the +1 idf floor) — the ranked companion of
+    the conjunctive index search (queries_r3o.index_search_topk), and the
+    retrieval analog of the reference's "pick the best epoch by a scored
+    criterion" pattern (timeseries_rms.py argmin selection).
+
+        idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+        tfn(d,t) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        score(d) = sum_t idf(t) * tfn(d,t)
+
+    Exactness discipline: idf and tfn are fixed-op-order doubles over
+    exact integers (tf, df, dl, N) and the corpus-constant avgdl (one
+    double division); each per-(doc,term) product is quantized to integer
+    micro-units (floor(x*1e6 + 0.5)) BEFORE the per-doc sum, so the final
+    score is an exact int64 under any partitioning, and ranking ties
+    break on the id column.
+
+    Scale shape: the token explosion is filtered to the query terms AT
+    the explode (predicate on the generator output — the posting list for
+    |terms| terms, not the corpus vocabulary); df and avgdl are 1-row /
+    |terms|-row broadcasts; the final top-k is orderBy+limit
+    (TakeOrdered — per-partition heaps then one |k| merge, never a global
+    sort), with row_number assigned on the k survivors only."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    kp1 = float(k1) + 1.0
+    one_minus_b = 1.0 - float(b)
+    staged = docs.select(
+        id_col, nonempty_tokens(text_col).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("long"))
+    stats = staged.agg(
+        F.count("*").alias("_n"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        staged.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(kp1)) / (
+        F.col("tf")
+        + F.lit(float(k1))
+        * (F.lit(one_minus_b) + F.lit(float(b)) * F.col("dl") / F.col("avgdl"))
+    )
+    sq = F.floor(idf * tfn * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, sq.alias("_sq"))
+        .groupBy(id_col)
+        .agg(F.sum("_sq").alias("score_micro"), F.count("*").alias("n_terms"))
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc(id_col)).limit(top_k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc(id_col))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        "score_micro",
+        "n_terms",
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str], top_k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB twin of bm25_topk over the `documents` view — identical
+    tokenizer, identical fixed op order, identical micro-quantization."""
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    kp1 = float(k1) + 1.0
+    omb = 1.0 - float(b)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(len(t)) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, UNNEST(t) AS term
+            FROM toks)
+      WHERE term IN ({tlist})
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               LN((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * ((tf.tf * {kp1!r}) /
+                  (tf.tf + {float(k1)!r}
+                   * ({omb!r} + {float(b)!r} * tf.dl / stats.avgdl)))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro,
+             COUNT(*) AS n_terms
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, score_micro, n_terms
+    FROM (SELECT * FROM scored
+          ORDER BY score_micro DESC, doc_id LIMIT {int(top_k)})
+    """
+
+
+def adjacent_pair_census(
+    docs: DataFrame,
+    group: str = "lang",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """(group, rnk, w1, w2, cnt): the top-k most frequent ADJACENT token
+    pairs per group — one census round of byte-pair/merge-style tokenizer
+    training (Sennrich 2016: each BPE merge step is exactly "count all
+    adjacent symbol pairs, take the argmax"). Per-language census so a
+    multilingual corpus trains per-lang merge tables.
+
+    Pure integer counts; ranking ties break (cnt DESC, w1, w2) so the
+    census is deterministic. Scale shape: pairs are built ROW-LOCALLY
+    from the staged token array (transform over sequence — no token-
+    stream self-join, same move as bigram_logprob), then ONE hash agg
+    with map-side partials; the rank window runs per group over the
+    pair-vocabulary rows (Heaps-bounded), not the corpus."""
+    from mintpy_spark.functions.scalars import nonempty_tokens
+
+    staged = docs.select(
+        group, nonempty_tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.struct(
+            F.element_at("_toks", i).alias("w1"),
+            F.element_at("_toks", i + 1).alias("w2"),
+        ),
+    )
+    counted = (
+        staged.select(group, F.explode(pairs).alias("_p"))
+        .select(group, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .groupBy(group, "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(group).orderBy(
+        F.desc("cnt"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_k)
+        .select(group, "rnk", "w1", "w2", "cnt")
+    )

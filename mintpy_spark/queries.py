@@ -444,6 +444,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3af  # noqa: F401  (winnowing + triangle count)
     import mintpy_spark.queries_r3ag  # noqa: F401  (exact prefix-filter ssjoin)
     import mintpy_spark.queries_r3ah  # noqa: F401  (water-filling crawl budget)
+    import mintpy_spark.queries_r3ai  # noqa: F401  (BM25/BPE-census/Siegel/hilo)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
