@@ -589,3 +589,191 @@ def top_eigen(
         v = [c / lam for c in w]
     df.unpersist()
     return [(v, lam)]
+
+
+def _dot_cols(a: Column, b: Column) -> Column:
+    """Sequential-fold dot(array column, array column) — the same
+    index-order fold as _dot_literal / DuckDB's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    emb: DataFrame, query_id: int = 0, k: int = 10, n_candidates: int = 50,
+    num_subspaces: int = 4, num_codes: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jegou/Douze/Schmid, PAMI 2011):
+    vectors are split into ``num_subspaces`` subvectors, each assigned to
+    its nearest codeword (L2, same deterministic-sample codebook
+    convention as the IVF path: the subvectors of the first
+    ``num_codes`` ids), the query's asymmetric distance (ADC — here the
+    approximate DOT, the sum of per-subspace query-codeword dots) ranks
+    candidates, and the ``n_candidates`` survivors are rescored with the
+    exact cosine. The memory story at scale: a dim-d float vector
+    becomes num_subspaces bytes of codes, and query scoring is a
+    (subspace, code) table lookup instead of d multiplies.
+
+    Plan shape: codebook and ADC lookup are broadcast
+    (num_subspaces * num_codes rows); assignment is ONE broadcast join +
+    map-side min_by per (id, subspace) — the shuffle carries one row per
+    (id, subspace), never the scored fan-out; candidate top-n and final
+    top-k are TakeOrdered. Exactness discipline: every fold is the same
+    index-order sequence both engines use, d2 is a fixed op chain over
+    staged self-dots, and the per-id ADC is added subspace 0..S-1 in
+    fixed order (one-row conditional sums), so candidate sets and ranks
+    match the SQL oracle bit-for-bit."""
+    import math
+
+    from pyspark.sql import Window
+
+    qrows = (
+        emb.where(F.col(id_col) == query_id)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"query_id {query_id} not found in {id_col}")
+    qv = [float(x) for x in qrows[0]["qv"]]
+    dim = len(qv)
+    s_count, code_count = int(num_subspaces), int(num_codes)
+    assert dim % s_count == 0, "num_subspaces must divide the dimension"
+    sub_len = dim // s_count
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    slices = F.array(
+        *[F.slice("_v", s * sub_len + 1, sub_len) for s in range(s_count)]
+    )
+    subs = (
+        emb.select(id_col, v.alias("_v"))
+        .select(id_col, F.posexplode(slices).alias("s", "sub"))
+        .withColumn("_dxx", _dot_cols(F.col("sub"), F.col("sub")))
+    )
+    cb = subs.where(F.col(id_col) < code_count).select(
+        F.col("s").alias("cs"),
+        F.col(id_col).alias("code"),
+        F.col("sub").alias("cvec"),
+        F.col("_dxx").alias("_dcc"),
+    )
+    scored = subs.join(
+        F.broadcast(cb), F.col("s") == F.col("cs")
+    ).withColumn(
+        "_d2",
+        F.col("_dxx")
+        - F.lit(2.0) * _dot_cols(F.col("sub"), F.col("cvec"))
+        + F.col("_dcc"),
+    )
+    codes = scored.groupBy(id_col, "s").agg(
+        F.expr("min_by(code, struct(_d2, code))").alias("code")
+    )
+    qd = (
+        subs.where(F.col(id_col) == query_id)
+        .join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .select("s", "code", _dot_cols(F.col("sub"), F.col("cvec")).alias("_qd"))
+    )
+    parts = [
+        F.sum(F.when(F.col("s") == i, F.col("_qd"))).alias(f"_a{i}")
+        for i in range(s_count)
+    ]
+    adc_sum = F.col("_a0")
+    for i in range(1, s_count):
+        adc_sum = adc_sum + F.col(f"_a{i}")
+    cand = (
+        codes.where(F.col(id_col) != query_id)
+        .join(F.broadcast(qd), ["s", "code"])
+        .groupBy(id_col)
+        .agg(*parts)
+        .select(id_col, adc_sum.alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(int(n_candidates))
+    )
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    staged = emb.select(id_col, v.alias("_v")).withColumn(
+        "_vn", _vnorm(F.col("_v"))
+    )
+    rescored = (
+        staged.join(F.broadcast(cand), id_col)
+        .withColumn(
+            "_cos", _dot_literal(F.col("_v"), qv) / (F.col("_vn") * F.lit(qnorm))
+        )
+        .orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.desc("_cos"), F.asc(id_col))
+    return rescored.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        F.round("adc", 4).alias("pq_dot"),
+        F.round("_cos", 4).alias("cos_sim"),
+    )
+
+
+def pq_oracle_sql(
+    table: str = "embeddings", query_id: int = 0, k: int = 10,
+    n_candidates: int = 50, num_subspaces: int = 4, num_codes: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> str:
+    """DuckDB re-execution of the PQ path: same sample codebook, same
+    staged d2 chain, same fixed-order ADC sum, same exact-cosine rescore."""
+    sub_len = dim // num_subspaces
+    adc_terms = "\n           + ".join(
+        f"SUM(CASE WHEN c.s = {i} THEN qd.qdot END)"
+        for i in range(num_subspaces)
+    )
+    return f"""
+    WITH e AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}),
+    subs AS (
+      SELECT {id_col}, s,
+             list_slice(v, s * {sub_len} + 1, (s + 1) * {sub_len}) AS sub
+      FROM e, UNNEST(range(0, {num_subspaces})) AS r(s)
+    ),
+    subx AS (
+      SELECT {id_col}, s, sub, list_dot_product(sub, sub) AS dxx FROM subs
+    ),
+    cb AS (
+      SELECT s, {id_col} AS code, sub AS cvec, dxx AS dcc
+      FROM subx WHERE {id_col} < {num_codes}
+    ),
+    scored AS (
+      SELECT subx.{id_col}, subx.s, cb.code,
+             subx.dxx - 2.0 * list_dot_product(subx.sub, cb.cvec) + cb.dcc
+               AS d2
+      FROM subx JOIN cb ON subx.s = cb.s
+    ),
+    codes AS (
+      SELECT {id_col}, s, code FROM (
+        SELECT {id_col}, s, code,
+               row_number() OVER (PARTITION BY {id_col}, s
+                                  ORDER BY d2 ASC, code ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT cb.s, cb.code, list_dot_product(q.sub, cb.cvec) AS qdot
+      FROM subx q JOIN cb ON q.s = cb.s WHERE q.{id_col} = {query_id}
+    ),
+    adc AS (
+      SELECT c.{id_col},
+           {adc_terms} AS adc
+      FROM codes c JOIN qd ON c.s = qd.s AND c.code = qd.code
+      WHERE c.{id_col} <> {query_id}
+      GROUP BY c.{id_col}
+    ),
+    cand AS (
+      SELECT * FROM adc ORDER BY adc DESC, {id_col} ASC LIMIT {n_candidates}
+    ),
+    q AS (SELECT v AS qv FROM e WHERE {id_col} = {query_id})
+    SELECT CAST(row_number() OVER (ORDER BY cos_raw DESC, {id_col} ASC)
+                AS BIGINT) AS rank,
+           {id_col}, ROUND(adc, 4) AS pq_dot, ROUND(cos_raw, 4) AS cos_sim
+    FROM (
+      SELECT cand.{id_col}, cand.adc,
+             list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+      FROM cand JOIN e ON cand.{id_col} = e.{id_col}, q
+      ORDER BY cos_raw DESC, cand.{id_col} ASC LIMIT {k}
+    )
+    """

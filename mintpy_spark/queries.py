@@ -445,6 +445,9 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3ag  # noqa: F401  (exact prefix-filter ssjoin)
     import mintpy_spark.queries_r3ah  # noqa: F401  (water-filling crawl budget)
     import mintpy_spark.queries_r3ai  # noqa: F401  (BM25/BPE-census/Siegel/hilo)
+    import mintpy_spark.queries_r3aj  # noqa: F401  (politeness schedule/change rate)
+    import mintpy_spark.queries_r3ak  # noqa: F401  (trend breakpoint search)
+    import mintpy_spark.queries_r3al  # noqa: F401  (product-quantization ANN)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
