@@ -97,9 +97,14 @@ def trend_break(
 
         SSE = (Svv - Sv^2/n) - (Stv - St*Sv/n)^2 / (Stt - St^2/n)
 
-    Plan shape: one hash agg to the daily partials + windows + rank
-    filter, all on the ``key`` partitioning — a single Exchange.
-    Candidates are day boundaries with >= 2 days on each side."""
+    Plan shape: two Exchanges, both cheap by construction — the daily
+    hash agg shuffles MAP-COMBINED partials (day-sized rows, not raw;
+    combining on (key, day) before the shuffle is why the agg is not
+    folded onto the key-only window partitioning: a pre-repartition on
+    key alone would shuffle the raw rows uncombined), then the
+    prefix-sum windows + rank filter share one key-partitioned Exchange
+    over ~days-per-key rows. Candidates are day boundaries with >= 2
+    days on each side."""
     day_t = F.datediff(
         F.date_trunc("day", F.col(ts).cast("timestamp")).cast("date"),
         F.lit(epoch).cast("date"),

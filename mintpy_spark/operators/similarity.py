@@ -591,6 +591,9 @@ def top_eigen(
     return [(v, lam)]
 
 
+_PQ_SUBS_SLOT: list = []
+
+
 def _dot_cols(a: Column, b: Column) -> Column:
     """Sequential-fold dot(array column, array column) — the same
     index-order fold as _dot_literal / DuckDB's list_dot_product."""
@@ -624,10 +627,17 @@ def pq_topk(
     index-order sequence both engines use, d2 is a fixed op chain over
     staged self-dots, and the per-id ADC is added subspace 0..S-1 in
     fixed order (one-row conditional sums), so candidate sets and ranks
-    match the SQL oracle bit-for-bit."""
+    match the SQL oracle bit-for-bit. The exploded subvector table is
+    persisted through the one-slot discipline (plans/cache.persist_slot)
+    — codebook, assignment, and query-lookup branches all read it, which
+    cuts the base-table scans from 5 to 2 (assignment+rescore); at
+    production scale the codes would live as a stored table and the
+    rescore would be the only vector scan."""
     import math
 
     from pyspark.sql import Window
+
+    from mintpy_spark.plans.cache import persist_slot
 
     qrows = (
         emb.where(F.col(id_col) == query_id)
@@ -646,10 +656,11 @@ def pq_topk(
     slices = F.array(
         *[F.slice("_v", s * sub_len + 1, sub_len) for s in range(s_count)]
     )
-    subs = (
+    subs = persist_slot(
         emb.select(id_col, v.alias("_v"))
         .select(id_col, F.posexplode(slices).alias("s", "sub"))
-        .withColumn("_dxx", _dot_cols(F.col("sub"), F.col("sub")))
+        .withColumn("_dxx", _dot_cols(F.col("sub"), F.col("sub"))),
+        _PQ_SUBS_SLOT,
     )
     cb = subs.where(F.col(id_col) < code_count).select(
         F.col("s").alias("cs"),

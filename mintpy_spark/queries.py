@@ -555,9 +555,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ks_drift_weekly) and the batch-ee two (rollup_7d_sliding_p99_hdr,
 # embedding_top_eigen — the latter rows-only) and the batch-ff three
 # (pack_concat_chunks, pack_next_fit_bins, crawl_frontier_topk) —
-# plus every batch gg..zz and ab..ag query (see the _ensure_ext import
-# list); the authoritative rebuild is always (registry) - (keys of every
-# CORRECTNESS_r*.json), not this note.
+# plus every batch gg..zz and ab..al query (see the _ensure_ext import
+# list; ai..al add index_bm25_topk, bpe_pair_census, velocity_siegel,
+# rollup_1d_hilo, crawl_politeness_schedule, crawl_revisit_lambda,
+# trend_break_detect, simsearch_pq_topk); the authoritative rebuild is
+# always (registry) - (keys of every CORRECTNESS_r*.json), not this
+# note.
 
 
 def _ordered(d: dict) -> dict:
