@@ -139,3 +139,85 @@ def asof_join_tolerance(
         else:
             cols.append(F.col(c))
     return out.select(*cols)
+
+
+def asof_interpolate(
+    probes: DataFrame,
+    obs: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Linear-interpolated as-of alignment: for every probe row
+    (key, ts), the signal series' value AT that instant — linear between
+    the bracketing observations, last-observation-carried-forward past
+    the last one, next-observation-carried-backward before the first
+    (the TimescaleDB ``interpolate()``/kdb ``aj``-with-fill analog; the
+    reference's counterpart is resampling GNSS displacement onto SAR
+    acquisition epochs, insar_vs_gnss.py).
+
+    Same union-sort-window strategy as asof_join — ONE shuffle on
+    ``key``, both brackets from one ordered pass (prev via
+    last(ignorenulls) over the preceding frame, next via
+    first(ignorenulls) over the following frame), no range join and no
+    fan-out. An observation exactly at the probe timestamp sorts before
+    the probe, lands in the preceding frame, and the interpolation
+    factor degenerates to 0 — the exact value is returned.
+
+    Exactness: the factor is integer-microsecond deltas divided once;
+    the interpolation is a fixed op chain (prev + (next-prev)*f), so
+    both engines agree bit-for-bit. Duplicate observation timestamps are
+    ordered by ``order_cols`` (pass a unique id) and a next_t == prev_t
+    degenerate bracket falls back to prev's value.
+
+    Output: the probe rows + ``v_interp`` + ``method``
+    ('interp'|'locf'|'nocb'|'none')."""
+    mic = F.unix_micros(F.col(ts).cast("timestamp"))
+    p = probes.select(
+        key, F.col(ts).alias(ts), *order_cols,
+        F.lit(1).alias("_isp"), F.lit(None).cast("double").alias("_v"),
+    )
+    o = obs.select(
+        key, F.col(ts).alias(ts), *order_cols,
+        F.lit(0).alias("_isp"), F.col(value_col).cast("double").alias("_v"),
+    )
+    u = p.unionByName(o).withColumn("_us", mic)
+    order = [F.col(ts), F.col("_isp"), *[F.col(c) for c in order_cols]]
+    wprev = (
+        Window.partitionBy(key).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(key).orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_struct = F.when(
+        F.col("_isp") == 0, F.struct(F.col("_us").alias("t"), F.col("_v").alias("v"))
+    )
+    staged = (
+        u.withColumn("_prev", F.last(obs_struct, ignorenulls=True).over(wprev))
+        .withColumn("_next", F.first(obs_struct, ignorenulls=True).over(wnext))
+        .where(F.col("_isp") == 1)
+    )
+    pt, pv = F.col("_prev.t"), F.col("_prev.v")
+    nt, nv = F.col("_next.t"), F.col("_next.v")
+    frac = (F.col("_us") - pt) / (nt - pt)
+    v_interp = (
+        F.when(F.col("_prev").isNull() & F.col("_next").isNull(),
+               F.lit(None).cast("double"))
+        .when(F.col("_prev").isNull(), nv)
+        .when(F.col("_next").isNull(), pv)
+        .when(nt > pt, pv + (nv - pv) * frac)
+        .otherwise(pv)
+    )
+    method = (
+        F.when(F.col("_prev").isNull() & F.col("_next").isNull(), F.lit("none"))
+        .when(F.col("_prev").isNull(), F.lit("nocb"))
+        .when(F.col("_next").isNull(), F.lit("locf"))
+        .otherwise(F.lit("interp"))
+    )
+    return staged.select(
+        key, ts, *order_cols,
+        v_interp.alias("v_interp"), method.alias("method"),
+    )
