@@ -449,6 +449,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3ak  # noqa: F401  (trend breakpoint search)
     import mintpy_spark.queries_r3al  # noqa: F401  (product-quantization ANN)
     import mintpy_spark.queries_r3am  # noqa: F401  (interpolated as-of alignment)
+    import mintpy_spark.queries_r3an  # noqa: F401  (sequence-pattern census)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
