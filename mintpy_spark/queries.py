@@ -453,116 +453,189 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
-# Driver-snapshot priority: the gate records a bounded number of queries per
-# round, so entries that have never appeared in a CORRECTNESS_r{N}.json file
-# are listed FIRST (registry minus CORRECTNESS_r01 ∪ r02 keys, then any
-# round-3 additions). Content is unchanged — ordering only; the frozen
-# manifest (tests/registry_frozen.txt) compares as a set.
+# Driver-snapshot priority: the gate records a bounded number of queries
+# per round, so entries that FAILED their latest driver check come first
+# (re-verification), followed by entries that have never appeared in any
+# CORRECTNESS_r{N}.json. Content is unchanged -- ordering only; the frozen
+# manifest (tests/registry_frozen.txt) compares as a set. The list below
+# is GENERATED -- do not edit by hand; run `python tools/rebuild_priority.py`
+# after each round's CORRECTNESS file lands (tests/test_registry.py fails
+# if it goes stale).
+# --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
+# 169 entries: 2 red-in-latest-driver-check first, then 167 never
+# driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked as of round 2 (26)
-    "network_inversion",
-    "network_inversion_weighted",
-    "velocity_sigma_cov",
-    "joint_decompose_2geom",
-    "weight_fisher_stats",
-    "deramp_daily",
-    "deramp2_daily",
-    "diff_vs_model",
-    "temporal_coherence",
-    "velocity_with_ci",
-    "velocity_timefunc_full",
-    "velocity_dem_pattern",
-    "closure_triplet",
     "pair_reconstruct_residual",
-    "mad_outlier_days",
-    "epoch_median_1d",
-    "temporal_avg_scaled",
-    "ref_cross_section",
-    "dates_except",
-    "lut_remap_stats",
-    "wrap_phase_stats",
-    "gaussian_smooth",
-    "asof_next_click_after_purchase",
-    "olap_customers_with_purchases",
-    "event_value_histogram",
-    "text_stopword_ratio",
-    # round-3 additions (also never driver-checked)
-    "closure_bias_seq",
-    "closure_bias_velocity",
-    "simsearch_ivf_topk_c64",
-    "multimodal_decode_stats",
-    "text_langid_wide",
-    "tier_route_range",
-    "velocity_partials_merge",
-    "cusum_changepoint_daily",
-    "deseasonalize_dow_variance",
-    "asof_tolerance_1h",
-    "rollup_1d_distinct",
-    "orders_prior_90d_window",
-    "rollup_1d_openclose",
-    "time_weighted_avg",
-    "heartbeat_max_gap",
-    "sample_stratified_split",
-    "out_of_order_profile",
-    "rollup_1d_top3",
-    # round-3 late additions (never driver-checked; keep total priority
-    # list at <= 50 so every entry lands in the driver snapshot)
-    "downsample_m4",
-    "rollup_1d_distinct_kmv",
-    "counter_increase_1d",
-    "rollup_7d_sliding",
-    "residual_acf1",
-    "props_extract_stats",
+    "closure_triplet",
+    "velocity_theilsen",
+    "drift_shingle_jaccard",
+    "downsample_ltob_1d",
+    "simsearch_sq_topk",
+    "temporal_filter_ewma",
+    "anomaly_rolling_z",
+    "corr_len_tokens",
+    "counter_rate_1d",
+    "cadence_interarrival_cv",
+    "tfidf_top_terms",
+    "stl_decompose_hourly",
+    "doc_unigram_logprob",
+    "text_repetition_profile",
+    "boilerplate_coverage",
+    "dedup_substring_spans",
+    "source_dup_profile",
+    "decontaminate_benchmark",
+    "quality_gopher_flags",
+    "quality_gopher_by_source",
+    "burst_ratio_daily",
+    "winsorized_daily_mean",
+    "interval_join_session_errors",
+    "sample_source_quota",
+    "forecast_snaive_mase",
+    "text_pmi_top_pairs",
+    "dedup_cdc_chunks",
+    "dedup_keeper_best_quality",
+    "text_pii_scrub_stats",
+    "text_token_entropy",
+    "xcorr_daily_lag",
+    "forecast_holt_mase",
+    "funnel_3step",
+    "temporal_filter_runmedian",
+    "index_postings_stats",
+    "scd2_snapshot",
+    "cohort_retention_weekly",
+    "series_align_locf",
+    "profile_events_columns",
+    "olap_monthly_orders",
+    "sax_motif_words",
+    "knn_label_accuracy",
+    "benford_first_digit",
+    "tier_snapshot_diff",
+    "embedding_label_silhouette",
+    "time_weighted_median",
+    "sketch_cms_token_freq",
+    "sample_priority_weighted",
+    "text_zipf_slope",
+    "rollup_1d_hdr_quantiles",
+    "event_transition_top",
+    "diurnal_entropy",
+    "presence_bitmap_60d",
+    "audience_overlap_jaccard",
+    "conversion_hazard_daily",
+    "gini_user_concentration",
+    "engagement_wau_daily",
+    "state_dwell_census",
+    "dedup_containment",
+    "rollup_1d_distinct_hll",
+    "bloom_presence_fp",
+    "rate_limit_audit_1h",
+    "olap_order_priority_semijoin",
+    "olap_custdist",
+    "olap_idle_rich_customers",
+    "rollup_1d_wow_change",
+    "growth_accounting_daily",
+    "ivm_segment_revenue_delta",
+    "share_of_day_by_type",
+    "pivot_daily_type_counts",
+    "unpivot_lineitem_measures",
+    "value_percentile_daily",
+    "cooccurrence_lift_daily",
+    "drift_tvd_weekly",
+    "sessions_concurrent_peak",
+    "bloom_join_prune",
+    "conversion_rate_wilson",
+    "rfm_segments",
+    "skew_audit_user_key",
+    "ks_drift_weekly",
+    "rollup_7d_sliding_p99_hdr",
+    "embedding_top_eigen",
+    "pack_concat_chunks",
+    "pack_next_fit_bins",
+    "crawl_frontier_topk",
+    "zorder_cell_stats",
+    "kmv_audience_intersection",
+    "olap_small_qty_revenue",
+    "olap_disjunctive_pushdown",
+    "olap_last_shipper_blame",
+    "olap_top_revenue_supplier",
+    "coverage_seconds_daily",
+    "session_bounce_daily",
+    "fk_orphan_audit",
+    "velocity_bootstrap",
+    "velocity_rolling_30d",
+    "robust_mom_daily",
+    "bitmap_retention_weekly",
+    "attribution_last_touch",
+    "value_mode_daily",
+    "activity_streaks",
+    "index_search_topk",
+    "token_rank_shift_weekly",
+    "user_type_mix_gini",
+    "cuped_adjusted_user",
+    "srm_chi2_daily",
+    "value_decile_bounds_weekly",
+    "time_to_convert_quantiles",
+    "did_estimator",
+    "olap_local_supplier_revenue",
+    "olap_returned_items_top",
+    "olap_large_volume_orders",
+    "psi_drift_weekly",
+    "wasserstein_drift_weekly",
+    "mann_kendall_daily",
+    "sample_temperature_mixture",
+    "truncation_loss_audit",
+    "quality_calibration_bins",
+    "acf_lag_spectrum",
+    "ljung_box_daily",
+    "hurst_rs_daily",
+    "olap_promo_revenue_share",
+    "olap_part_supplier_census",
+    "olap_excess_supply_suppliers",
+    "anova_dow_daily",
+    "seasonal_index_dow",
+    "welch_weekday_weekend",
+    "doc_bigram_logprob",
+    "text_ttr_hapax",
+    "vocab_frequency_census",
+    "embedding_norm_census",
+    "embedding_dim_variance_topk",
+    "embedding_centroid_shift",
+    "session_path_trigrams",
+    "ltv_decay_user",
+    "basket_brand_pairs",
+    "olap_volume_shipping",
+    "olap_market_share",
+    "olap_product_type_profit",
+    "hll_merge_30d_distinct",
+    "kmv_anotb_audience",
+    "cms_30d_merge_topfreq",
+    "shingle_novelty_share",
+    "langid_confusion_matrix",
+    "olap_ship_latency_quantiles",
+    "olap_revenue_delta",
+    "olap_min_cost_supplier",
+    "olap_important_parts",
+    "olap_ship_priority_class",
+    "graph_pagerank_bipartite",
+    "dedup_lsh_recall_eval",
+    "url_canonical_dups",
+    "url_host_census",
+    "text_winnow_stats",
+    "dedup_winnow_pairs",
+    "graph_triangle_count",
+    "dedup_ssjoin_exact",
+    "crawl_budget_waterfill",
+    "index_bm25_topk",
+    "bpe_pair_census",
+    "velocity_siegel",
+    "rollup_1d_hilo",
+    "crawl_politeness_schedule",
+    "crawl_revisit_lambda",
+    "trend_break_detect",
+    "simsearch_pq_topk",
+    "asof_interpolate_click",
+    "event_pattern_census",
 )
-# ROUND-4 NOTE: after CORRECTNESS_r03.json lands, rebuild this list as
-# (registry keys) - (r01 ∪ r02 ∪ r03 keys). Assuming the r3 snapshot
-# records the head-50 above, exactly these 16 batch-c..h queries remain
-# never-driver-checked and must move to the head next round:
-# anomaly_rolling_z, boilerplate_coverage, cadence_interarrival_cv,
-# corr_len_tokens, counter_rate_1d, dedup_substring_spans,
-# doc_unigram_logprob, downsample_ltob_1d, drift_shingle_jaccard,
-# simsearch_sq_topk, source_dup_profile, stl_decompose_hourly,
-# temporal_filter_ewma, text_repetition_profile, tfidf_top_terms,
-# velocity_theilsen — plus the batch-i five (decontaminate_benchmark,
-# quality_gopher_flags, quality_gopher_by_source, burst_ratio_daily,
-# winsorized_daily_mean) and the batch-j two
-# (interval_join_session_errors, sample_source_quota) and the batch-k
-# three (forecast_snaive_mase, text_pmi_top_pairs, dedup_cdc_chunks)
-# and batch-l's dedup_keeper_best_quality and the batch-m three
-# (text_pii_scrub_stats, text_token_entropy, xcorr_daily_lag) and the
-# batch-n three (forecast_holt_mase, funnel_3step,
-# temporal_filter_runmedian) and the batch-o three (index_postings_stats,
-# scd2_snapshot, cohort_retention_weekly) and the batch-p three
-# (series_align_locf, profile_events_columns, olap_monthly_orders) and
-# the batch-q three (sax_motif_words, knn_label_accuracy,
-# benford_first_digit) and the batch-r three (tier_snapshot_diff,
-# embedding_label_silhouette, time_weighted_median) and the batch-s
-# three (sketch_cms_token_freq, sample_priority_weighted,
-# text_zipf_slope) and the batch-t three (rollup_1d_hdr_quantiles,
-# event_transition_top, diurnal_entropy) and the batch-u four
-# (presence_bitmap_60d, audience_overlap_jaccard,
-# conversion_hazard_daily, gini_user_concentration) and the batch-v
-# three (engagement_wau_daily, state_dwell_census, dedup_containment)
-# and the batch-w three (rollup_1d_distinct_hll, bloom_presence_fp,
-# rate_limit_audit_1h) and the batch-x four
-# (olap_order_priority_semijoin, olap_custdist,
-# olap_idle_rich_customers, rollup_1d_wow_change) and the batch-y three
-# (growth_accounting_daily, ivm_segment_revenue_delta,
-# share_of_day_by_type) and the batch-aa three
-# (pivot_daily_type_counts, unpivot_lineitem_measures,
-# value_percentile_daily) and the batch-bb three
-# (cooccurrence_lift_daily, drift_tvd_weekly, sessions_concurrent_peak)
-# and the batch-cc three (bloom_join_prune, conversion_rate_wilson,
-# rfm_segments) and the batch-dd two (skew_audit_user_key,
-# ks_drift_weekly) and the batch-ee two (rollup_7d_sliding_p99_hdr,
-# embedding_top_eigen — the latter rows-only) and the batch-ff three
-# (pack_concat_chunks, pack_next_fit_bins, crawl_frontier_topk) —
-# plus every batch gg..zz and ab..al query (see the _ensure_ext import
-# list; ai..al add index_bm25_topk, bpe_pair_census, velocity_siegel,
-# rollup_1d_hilo, crawl_politeness_schedule, crawl_revisit_lambda,
-# trend_break_detect, simsearch_pq_topk); the authoritative rebuild is
-# always (registry) - (keys of every CORRECTNESS_r*.json), not this
-# note.
+# --- end generated DRIVER_PRIORITY ---
 
 
 def _ordered(d: dict) -> dict:

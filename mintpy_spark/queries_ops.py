@@ -616,7 +616,7 @@ def network_inversion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.user_id, p.ts1, p.ts2,
            ROUND(p.delta * s1.cnt_v * s2.cnt_v
-                 - s2.sum_v * s1.cnt_v + s1.sum_v * s2.cnt_v, 2) AS resid_scaled
+                 - s2.sum_v * s1.cnt_v + s1.sum_v * s2.cnt_v, 2) + 0.0 AS resid_scaled
     FROM p
     JOIN s s1 ON p.user_id = s1.user_id AND p.ts1 = s1.day
     JOIN s s2 ON p.user_id = s2.user_id AND p.ts2 = s2.day
@@ -661,9 +661,13 @@ def pair_reconstruct_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c2, ["user_id", "ts2"])
         .select(
             "user_id", "ts1", "ts2",
-            F.round(F.col("delta_residual") * F.col("c1") * F.col("c2"), 2).alias(
-                "resid_scaled"
-            ),
+            # `+ 0.0` normalizes IEEE negative zero: DuckDB's ROUND preserves
+            # the sign bit of an epsilon-negative residual (-0.0) where Spark
+            # emits +0.0, and the driver's value hash is byte-exact.
+            (
+                F.round(F.col("delta_residual") * F.col("c1") * F.col("c2"), 2)
+                + F.lit(0.0)
+            ).alias("resid_scaled"),
         )
     )
 

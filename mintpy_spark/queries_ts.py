@@ -185,7 +185,7 @@ def dates_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "closure_triplet",
     """
-    SELECT user_id, ts1, ts2, ts3, ROUND(closure, 2) AS closure
+    SELECT user_id, ts1, ts2, ts3, ROUND(closure, 2) + 0.0 AS closure
     FROM (
       SELECT user_id, ts AS ts1,
              lead(ts, 1)  OVER w AS ts2,
@@ -206,7 +206,11 @@ def closure_triplet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = closure_triplet(ev, "value", key="user_id", ts="ts")
     return out.select(
-        "user_id", "ts1", "ts2", "ts3", F.round("closure", 2).alias("closure")
+        "user_id", "ts1", "ts2", "ts3",
+        # `+ 0.0` normalizes IEEE negative zero on both engines: the triangle
+        # slack can be epsilon-negative before ROUND, and DuckDB's ROUND
+        # preserves the sign bit (-0.0) where Spark's does not.
+        (F.round("closure", 2) + F.lit(0.0)).alias("closure"),
     )
 
 

@@ -76,6 +76,63 @@ def test_docs_quote_the_frozen_registry_count():
     )
 
 
+def test_driver_priority_is_not_stale():
+    """The driver samples the first 50 queries() entries per round, so a
+    stale DRIVER_PRIORITY silently wastes a whole round's correctness
+    sample on re-checks (VERDICT r3 #2: round 3's priority head was
+    exactly the 50 queries round 3 had already checked). The generator
+    (tools/rebuild_priority.py) orders latest-check failures first, then
+    never-driver-checked registry entries; this asserts the committed
+    list matches what the generator would produce from the CORRECTNESS
+    files present at commit time."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from rebuild_priority import build_priority
+    finally:
+        sys.path.pop(0)
+    from mintpy_spark.queries import DRIVER_PRIORITY
+
+    expected = tuple(build_priority())
+    assert DRIVER_PRIORITY == expected, (
+        "DRIVER_PRIORITY is stale — run `python tools/rebuild_priority.py` "
+        "in the same commit that adds a CORRECTNESS_r*.json or a new query"
+    )
+
+
+def test_driver_priority_head_is_unchecked_or_failed():
+    """Belt-and-braces mirror of the staleness test: none of the first 50
+    priority entries may already be GREEN in a prior driver snapshot."""
+    import glob
+    import json
+    import os
+
+    from mintpy_spark.queries import DRIVER_PRIORITY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, res in json.load(open(path)).items():
+            if res.get("err") == "no_oracle":
+                ok = res.get("spark_rows") is not None
+            else:
+                ok = bool(
+                    res.get("rows_match")
+                    and res.get("schema_match")
+                    and res.get("hash_match", True)
+                    and not res.get("err")
+                )
+            if ok:
+                green.add(name)
+            else:
+                green.discard(name)  # later failure reopens the query
+    overlap = set(DRIVER_PRIORITY[:50]) & green
+    assert not overlap, f"priority head wastes driver slots on green queries: {sorted(overlap)}"
+
+
 def test_verification_only_queries_have_scale_safe_twins():
     """Every verification-tier query (exact all-pairs / benign-block
     formulation kept to validate candidate generation) must map to a
