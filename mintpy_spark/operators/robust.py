@@ -188,6 +188,7 @@ def siegel_velocity(
     ts: str = "warc_ts",
     max_lag: int = 10,
     ref_year: float = 2024.0,
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(key, velocity, num_points): Siegel repeated-median slope per key —
     median over observations i of (median over in-band neighbors j of
@@ -221,8 +222,13 @@ def siegel_velocity(
         (decimal_year(F.col(ts)) - F.lit(ref_year)).alias("t"),
         F.col(value_col).cast("double").alias("v"),
         F.col(ts).alias("_ts"),
+        *[F.col(c) for c in order_cols],
     )
-    w = Window.partitionBy("k").orderBy("_ts")
+    # Window order is (ts, *order_cols): pass a unique tie-breaker when a
+    # key can carry duplicate timestamps, so the lag/lead neighbor bands
+    # (and hence engine-vs-oracle agreement) stay deterministic — same
+    # convention as politeness_schedule / change_rate_estimate (ADVICE r3).
+    w = Window.partitionBy("k").orderBy("_ts", *order_cols)
     neighbor_slopes = []
     for j in range(1, int(max_lag) + 1):
         for other_t, other_v in (

@@ -73,7 +73,7 @@ def bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              {_DY_SQL.format(t='ts')} - 2024.0 AS t,
              CAST(value AS DOUBLE) AS v,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
       FROM events
     ),
     inner_m AS (
@@ -102,7 +102,8 @@ def velocity_siegel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     out = siegel_velocity(
-        ev, "value", key="user_id", ts="ts", max_lag=10, ref_year=2024.0
+        ev, "value", key="user_id", ts="ts", max_lag=10, ref_year=2024.0,
+        order_cols=("value",),
     )
     return out.select(
         "user_id", F.round("velocity", 4).alias("velocity"), "num_points"

@@ -95,7 +95,10 @@ def main() -> None:
             times[cores].append(run_once(cores, staged))
     obs_total = URLS * OBS
     tn, t4 = min(times[N_SMALL]), min(times[CPUS])
-    eff = (obs_total / t4) / (4.0 * (obs_total / tn))
+    # Use the ACTUAL core ratio, not a hardcoded 4: with CPUS < 4,
+    # N_SMALL clamps to 1 and the ratio is CPUS, not 4 (ADVICE r3).
+    core_ratio = CPUS / N_SMALL
+    eff = (obs_total / t4) / (core_ratio * (obs_total / tn))
     print(json.dumps({
         "job": f"pair_deltas(max_lag=2) -> network_invert ({MODE})",
         "obs": obs_total, "urls": URLS,
