@@ -450,6 +450,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3al  # noqa: F401  (product-quantization ANN)
     import mintpy_spark.queries_r3am  # noqa: F401  (interpolated as-of alignment)
     import mintpy_spark.queries_r3an  # noqa: F401  (sequence-pattern census)
+    import mintpy_spark.queries_r4a  # noqa: F401  (realtime tier read / deramped RMS)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -462,7 +463,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 169 entries: 2 red-in-latest-driver-check first, then 167 never
+# 171 entries: 2 red-in-latest-driver-check first, then 169 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "pair_reconstruct_residual",
@@ -634,6 +635,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simsearch_pq_topk",
     "asof_interpolate_click",
     "event_pattern_census",
+    "tier_realtime_read_check",
+    "residual_rms_deramped",
 )
 # --- end generated DRIVER_PRIORITY ---
 
