@@ -240,12 +240,59 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, depth: int = 8,
+    trns: bytes | None = None,
+) -> bytes:
+    """Index array (h, w) + palette (n, 3) -> paletted PNG bytes (color
+    type 3, PLTE chunk, optional tRNS, filter-0 scanlines). ``depth`` in
+    {1, 2, 4, 8}; sub-byte depths pack MSB-first per the spec. Fixture
+    encoder for the paletted decode path — pure stdlib like encode_png."""
+    import zlib
+
+    h, w = idx.shape
+    assert idx.dtype == np.uint8 and palette.dtype == np.uint8
+    assert depth in (1, 2, 4, 8) and int(idx.max(initial=0)) < (1 << depth)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    if depth == 8:
+        packed = idx
+    else:
+        per = 8 // depth
+        pad = (-w) % per
+        padded = np.pad(idx, ((0, 0), (0, pad)))
+        bits = (
+            (padded[..., None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, -1).astype(np.uint8)
+        packed = np.packbits(bits, axis=1)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), packed], axis=1
+    ).tobytes()
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, 3, 0, 0, 0])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+        b"PLTE", palette.tobytes()
+    )
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> RGB(A) uint8 array (h, w, 3|4). Real decode, pure
     stdlib + NumPy: chunk walk, zlib-inflated IDAT, and full scanline
     un-filtering (all five filter types 0-4). Supported profile: 8-bit
-    truecolor/truecolor-alpha, non-interlaced — the overwhelmingly common
-    web profile; palette/16-bit/interlaced is where PIL would slot in.
+    truecolor/truecolor-alpha AND paletted (color type 3, PLTE chunk,
+    bit depths 1/2/4/8, optional tRNS alpha), non-interlaced — together
+    the overwhelmingly common web profiles; 16-bit/interlaced is where
+    PIL would slot in.
 
     Un-filtering: None and Up vectorize whole-row; Sub is a per-lane
     modular cumsum; Average and Paeth carry a nonlinear left-dependency,
@@ -257,6 +304,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, w = 8, None
+    plte = trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
@@ -267,13 +315,21 @@ def decode_png(payload: bytes) -> np.ndarray:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, ctype, _comp, _filt, interlace = body[8:13]
-            if depth != 8 or ctype not in (2, 6) or interlace:
+            ok = (ctype in (2, 6) and depth == 8) or (
+                ctype == 3 and depth in (1, 2, 4, 8)
+            )
+            if not ok or interlace:
                 raise NotImplementedError(
-                    f"only 8-bit truecolor(+alpha) non-interlaced PNG decoded "
-                    f"here (depth={depth}, colortype={ctype}, "
-                    f"interlace={interlace}); other profiles need PIL"
+                    f"only non-interlaced 8-bit truecolor(+alpha) or "
+                    f"1/2/4/8-bit paletted PNG decoded here (depth={depth}, "
+                    f"colortype={ctype}, interlace={interlace}); 16-bit/"
+                    f"interlaced need PIL"
                 )
-            ch = 3 if ctype == 2 else 4
+            ch = {2: 3, 3: 1, 6: 4}[ctype]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -281,7 +337,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    stride = w * ch
+    # stride in BYTES; the filter offset `fo` is bytes-per-pixel floored
+    # to >= 1 (PNG spec: for sub-byte depths, `a` is the byte one back)
+    stride = (w * ch * depth + 7) // 8
+    fo = max(1, (ch * depth) // 8)
     rows = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), np.uint16)
     prior = np.zeros(stride, np.uint16)
@@ -293,24 +352,45 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = (line + prior) & 0xFF
         elif ft == 1:  # Sub: per-lane modular cumsum
             rec = line.copy()
-            for k in range(ch):
-                rec[k::ch] = np.cumsum(line[k::ch], dtype=np.uint64) & 0xFF
+            for k in range(fo):
+                rec[k::fo] = np.cumsum(line[k::fo], dtype=np.uint64) & 0xFF
         else:  # Average (3) / Paeth (4): sequential left-dependency
             rec = np.zeros(stride, np.uint16)
             for i in range(stride):
-                a = int(rec[i - ch]) if i >= ch else 0
+                a = int(rec[i - fo]) if i >= fo else 0
                 b = int(prior[i])
                 if ft == 3:
                     rec[i] = (int(line[i]) + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = int(prior[i - ch]) if i >= ch else 0
+                    c = int(prior[i - fo]) if i >= fo else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     rec[i] = (int(line[i]) + pred) & 0xFF
         out[y] = rec
         prior = rec
-    return out.astype(np.uint8).reshape(h, w, ch)
+    bytes_out = out.astype(np.uint8)
+    if plte is None:
+        return bytes_out.reshape(h, w, ch)
+    # paletted: unpack sub-byte indices (big-endian within each byte),
+    # then one vectorized LUT gather index -> RGB(A)
+    if depth == 8:
+        idx = bytes_out[:, :w]
+    else:
+        bits = np.unpackbits(bytes_out, axis=1)
+        per = 8 // depth
+        idx = np.zeros((h, stride * per), np.uint8)
+        for b in range(depth):
+            idx = (idx << 1) | bits[:, b::depth][:, : stride * per]
+        idx = idx[:, :w]
+    if idx.max(initial=0) >= plte.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    alpha_lut = np.full(plte.shape[0], 255, np.uint8)
+    alpha_lut[: trns.shape[0]] = trns
+    return np.concatenate([rgb, alpha_lut[idx][..., None]], axis=2)
 
 
 def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,

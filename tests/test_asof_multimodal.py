@@ -257,12 +257,42 @@ def test_png_roundtrip_and_all_filters():
                + chunk(b"IEND", b""))
     assert np.array_equal(decode_png(crafted), img)
 
-    # unsupported profile fails loudly at the PIL seam
-    bad_ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    # unsupported profile (16-bit truecolor) fails loudly at the PIL seam
+    bad_ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
     bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         decode_png(bad)
+
+
+def test_png_paletted_roundtrip_all_depths():
+    """Paletted decode (color type 3): byte-exact index->RGB recovery at
+    every legal sub-16 depth, MSB-first sub-byte packing, non-multiple-
+    of-per-byte widths (padding bits discarded), and tRNS alpha."""
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import (
+        decode_png, encode_png_palette, sniff_media_type,
+    )
+
+    rng = np.random.default_rng(7)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for depth, w in ((1, 13), (2, 7), (4, 5), (8, 6)):
+        n = 1 << min(depth, 4)
+        idx = rng.integers(0, n, (4, w), dtype=np.uint8)
+        payload = encode_png_palette(idx, palette[:n], depth=depth)
+        assert sniff_media_type(payload) == "image/png"
+        got = decode_png(payload)
+        assert got.shape == (4, w, 3), (depth, w)
+        assert np.array_equal(got, palette[:n][idx]), f"depth={depth}"
+
+    # tRNS: entries beyond the tRNS table default to alpha 255
+    idx = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    payload = encode_png_palette(idx, palette[:4], depth=8, trns=bytes([10, 200]))
+    got = decode_png(payload)
+    assert got.shape == (1, 4, 4)
+    assert np.array_equal(got[..., :3], palette[:4][idx])
+    assert got[0, :, 3].tolist() == [10, 200, 255, 255]
 
 
 def test_png_flows_through_decode_media_and_features(spark):
