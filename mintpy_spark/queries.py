@@ -463,7 +463,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 171 entries: 2 red-in-latest-driver-check first, then 169 never
+# 172 entries: 2 red-in-latest-driver-check first, then 170 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "pair_reconstruct_residual",
@@ -611,6 +611,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_30d_merge_topfreq",
     "shingle_novelty_share",
     "langid_confusion_matrix",
+    "langid_top_confusions",
     "olap_ship_latency_quantiles",
     "olap_revenue_delta",
     "olap_min_cost_supplier",

@@ -121,6 +121,60 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "langid_top_confusions",
+    f"""
+    WITH cls AS ({classify_oracle_sql()}),
+    lab AS (
+      SELECT d.lang AS label, cls.guess
+      FROM documents d JOIN cls ON d.doc_id = cls.doc_id
+    ), m AS (
+      SELECT label, guess, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY label) AS n
+      FROM lab GROUP BY 1, 2
+    ), off AS (
+      SELECT label, guess, cnt,
+             CAST((20000 * cnt + n) // (2 * n) AS BIGINT) AS share_bp,
+             row_number() OVER (ORDER BY cnt DESC, label, guess) AS rank
+      FROM m WHERE label <> guess
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, label, guess, cnt, share_bp
+    FROM off WHERE rank <= 3
+    """,
+)
+def langid_top_confusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-confused language pairs (off-diagonal confusion mass,
+    ties broken by label then guess): the round-over-round regression
+    tripwire for the trigram profiles — if a profile edit degrades e.g.
+    es-vs-pt separation, the pair climbs this list and the driver hash
+    moves. Same one-classify-pass plan as langid_confusion_matrix plus a
+    row_number over the ~|langs|^2 off-diagonal matrix (driver-sized)."""
+    d = load(spark, sf_dir, "documents")
+    cls = classify(d)
+    lab = d.select("doc_id", F.col("lang").alias("label")).join(
+        cls.select("doc_id", "guess"), "doc_id"
+    )
+    g = lab.groupBy("label", "guess").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("label"))
+    off = (
+        g.withColumn("n", n)
+        .where(F.col("label") != F.col("guess"))
+        .withColumn(
+            "share_bp",
+            F.expr("(20000 * cnt + n) DIV (2 * n)").cast("long"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "label", "guess")
+            ).cast("long"),
+        )
+    )
+    return off.where(F.col("rank") <= 3).select(
+        "rank", "label", "guess", "cnt", "share_bp"
+    )
+
+
+@_q(
     "olap_ship_latency_quantiles",
     """
     WITH lat AS (
