@@ -451,6 +451,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3am  # noqa: F401  (interpolated as-of alignment)
     import mintpy_spark.queries_r3an  # noqa: F401  (sequence-pattern census)
     import mintpy_spark.queries_r4a  # noqa: F401  (realtime tier read / deramped RMS)
+    import mintpy_spark.queries_r4b  # noqa: F401  (dod codec size audit)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -463,181 +464,182 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 172 entries: 2 red-in-latest-driver-check first, then 170 never
+# 173 entries: 2 red-in-latest-driver-check first, then 171 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "pair_reconstruct_residual",
     "closure_triplet",
-    "velocity_theilsen",
-    "drift_shingle_jaccard",
-    "downsample_ltob_1d",
-    "simsearch_sq_topk",
-    "temporal_filter_ewma",
+    "pair_reconstruct_residual",
+    "acf_lag_spectrum",
+    "activity_streaks",
     "anomaly_rolling_z",
+    "anova_dow_daily",
+    "asof_interpolate_click",
+    "attribution_last_touch",
+    "audience_overlap_jaccard",
+    "basket_brand_pairs",
+    "benford_first_digit",
+    "bitmap_retention_weekly",
+    "bloom_join_prune",
+    "bloom_presence_fp",
+    "boilerplate_coverage",
+    "bpe_pair_census",
+    "burst_ratio_daily",
+    "cadence_interarrival_cv",
+    "cms_30d_merge_topfreq",
+    "codec_dod_size_audit",
+    "cohort_retention_weekly",
+    "conversion_hazard_daily",
+    "conversion_rate_wilson",
+    "cooccurrence_lift_daily",
     "corr_len_tokens",
     "counter_rate_1d",
-    "cadence_interarrival_cv",
-    "tfidf_top_terms",
-    "stl_decompose_hourly",
-    "doc_unigram_logprob",
-    "text_repetition_profile",
-    "boilerplate_coverage",
-    "dedup_substring_spans",
-    "source_dup_profile",
-    "decontaminate_benchmark",
-    "quality_gopher_flags",
-    "quality_gopher_by_source",
-    "burst_ratio_daily",
-    "winsorized_daily_mean",
-    "interval_join_session_errors",
-    "sample_source_quota",
-    "forecast_snaive_mase",
-    "text_pmi_top_pairs",
-    "dedup_cdc_chunks",
-    "dedup_keeper_best_quality",
-    "text_pii_scrub_stats",
-    "text_token_entropy",
-    "xcorr_daily_lag",
-    "forecast_holt_mase",
-    "funnel_3step",
-    "temporal_filter_runmedian",
-    "index_postings_stats",
-    "scd2_snapshot",
-    "cohort_retention_weekly",
-    "series_align_locf",
-    "profile_events_columns",
-    "olap_monthly_orders",
-    "sax_motif_words",
-    "knn_label_accuracy",
-    "benford_first_digit",
-    "tier_snapshot_diff",
-    "embedding_label_silhouette",
-    "time_weighted_median",
-    "sketch_cms_token_freq",
-    "sample_priority_weighted",
-    "text_zipf_slope",
-    "rollup_1d_hdr_quantiles",
-    "event_transition_top",
-    "diurnal_entropy",
-    "presence_bitmap_60d",
-    "audience_overlap_jaccard",
-    "conversion_hazard_daily",
-    "gini_user_concentration",
-    "engagement_wau_daily",
-    "state_dwell_census",
-    "dedup_containment",
-    "rollup_1d_distinct_hll",
-    "bloom_presence_fp",
-    "rate_limit_audit_1h",
-    "olap_order_priority_semijoin",
-    "olap_custdist",
-    "olap_idle_rich_customers",
-    "rollup_1d_wow_change",
-    "growth_accounting_daily",
-    "ivm_segment_revenue_delta",
-    "share_of_day_by_type",
-    "pivot_daily_type_counts",
-    "unpivot_lineitem_measures",
-    "value_percentile_daily",
-    "cooccurrence_lift_daily",
-    "drift_tvd_weekly",
-    "sessions_concurrent_peak",
-    "bloom_join_prune",
-    "conversion_rate_wilson",
-    "rfm_segments",
-    "skew_audit_user_key",
-    "ks_drift_weekly",
-    "rollup_7d_sliding_p99_hdr",
-    "embedding_top_eigen",
-    "pack_concat_chunks",
-    "pack_next_fit_bins",
-    "crawl_frontier_topk",
-    "zorder_cell_stats",
-    "kmv_audience_intersection",
-    "olap_small_qty_revenue",
-    "olap_disjunctive_pushdown",
-    "olap_last_shipper_blame",
-    "olap_top_revenue_supplier",
     "coverage_seconds_daily",
-    "session_bounce_daily",
-    "fk_orphan_audit",
-    "velocity_bootstrap",
-    "velocity_rolling_30d",
-    "robust_mom_daily",
-    "bitmap_retention_weekly",
-    "attribution_last_touch",
-    "value_mode_daily",
-    "activity_streaks",
-    "index_search_topk",
-    "token_rank_shift_weekly",
-    "user_type_mix_gini",
-    "cuped_adjusted_user",
-    "srm_chi2_daily",
-    "value_decile_bounds_weekly",
-    "time_to_convert_quantiles",
-    "did_estimator",
-    "olap_local_supplier_revenue",
-    "olap_returned_items_top",
-    "olap_large_volume_orders",
-    "psi_drift_weekly",
-    "wasserstein_drift_weekly",
-    "mann_kendall_daily",
-    "sample_temperature_mixture",
-    "truncation_loss_audit",
-    "quality_calibration_bins",
-    "acf_lag_spectrum",
-    "ljung_box_daily",
-    "hurst_rs_daily",
-    "olap_promo_revenue_share",
-    "olap_part_supplier_census",
-    "olap_excess_supply_suppliers",
-    "anova_dow_daily",
-    "seasonal_index_dow",
-    "welch_weekday_weekend",
-    "doc_bigram_logprob",
-    "text_ttr_hapax",
-    "vocab_frequency_census",
-    "embedding_norm_census",
-    "embedding_dim_variance_topk",
-    "embedding_centroid_shift",
-    "session_path_trigrams",
-    "ltv_decay_user",
-    "basket_brand_pairs",
-    "olap_volume_shipping",
-    "olap_market_share",
-    "olap_product_type_profit",
-    "hll_merge_30d_distinct",
-    "kmv_anotb_audience",
-    "cms_30d_merge_topfreq",
-    "shingle_novelty_share",
-    "langid_confusion_matrix",
-    "langid_top_confusions",
-    "olap_ship_latency_quantiles",
-    "olap_revenue_delta",
-    "olap_min_cost_supplier",
-    "olap_important_parts",
-    "olap_ship_priority_class",
-    "graph_pagerank_bipartite",
-    "dedup_lsh_recall_eval",
-    "url_canonical_dups",
-    "url_host_census",
-    "text_winnow_stats",
-    "dedup_winnow_pairs",
-    "graph_triangle_count",
-    "dedup_ssjoin_exact",
     "crawl_budget_waterfill",
-    "index_bm25_topk",
-    "bpe_pair_census",
-    "velocity_siegel",
-    "rollup_1d_hilo",
+    "crawl_frontier_topk",
     "crawl_politeness_schedule",
     "crawl_revisit_lambda",
-    "trend_break_detect",
-    "simsearch_pq_topk",
-    "asof_interpolate_click",
+    "cuped_adjusted_user",
+    "decontaminate_benchmark",
+    "dedup_cdc_chunks",
+    "dedup_containment",
+    "dedup_keeper_best_quality",
+    "dedup_lsh_recall_eval",
+    "dedup_ssjoin_exact",
+    "dedup_substring_spans",
+    "dedup_winnow_pairs",
+    "did_estimator",
+    "diurnal_entropy",
+    "doc_bigram_logprob",
+    "doc_unigram_logprob",
+    "downsample_ltob_1d",
+    "drift_shingle_jaccard",
+    "drift_tvd_weekly",
+    "embedding_centroid_shift",
+    "embedding_dim_variance_topk",
+    "embedding_label_silhouette",
+    "embedding_norm_census",
+    "embedding_top_eigen",
+    "engagement_wau_daily",
     "event_pattern_census",
-    "tier_realtime_read_check",
+    "event_transition_top",
+    "fk_orphan_audit",
+    "forecast_holt_mase",
+    "forecast_snaive_mase",
+    "funnel_3step",
+    "gini_user_concentration",
+    "graph_pagerank_bipartite",
+    "graph_triangle_count",
+    "growth_accounting_daily",
+    "hll_merge_30d_distinct",
+    "hurst_rs_daily",
+    "index_bm25_topk",
+    "index_postings_stats",
+    "index_search_topk",
+    "interval_join_session_errors",
+    "ivm_segment_revenue_delta",
+    "kmv_anotb_audience",
+    "kmv_audience_intersection",
+    "knn_label_accuracy",
+    "ks_drift_weekly",
+    "langid_confusion_matrix",
+    "langid_top_confusions",
+    "ljung_box_daily",
+    "ltv_decay_user",
+    "mann_kendall_daily",
+    "olap_custdist",
+    "olap_disjunctive_pushdown",
+    "olap_excess_supply_suppliers",
+    "olap_idle_rich_customers",
+    "olap_important_parts",
+    "olap_large_volume_orders",
+    "olap_last_shipper_blame",
+    "olap_local_supplier_revenue",
+    "olap_market_share",
+    "olap_min_cost_supplier",
+    "olap_monthly_orders",
+    "olap_order_priority_semijoin",
+    "olap_part_supplier_census",
+    "olap_product_type_profit",
+    "olap_promo_revenue_share",
+    "olap_returned_items_top",
+    "olap_revenue_delta",
+    "olap_ship_latency_quantiles",
+    "olap_ship_priority_class",
+    "olap_small_qty_revenue",
+    "olap_top_revenue_supplier",
+    "olap_volume_shipping",
+    "pack_concat_chunks",
+    "pack_next_fit_bins",
+    "pivot_daily_type_counts",
+    "presence_bitmap_60d",
+    "profile_events_columns",
+    "psi_drift_weekly",
+    "quality_calibration_bins",
+    "quality_gopher_by_source",
+    "quality_gopher_flags",
+    "rate_limit_audit_1h",
     "residual_rms_deramped",
+    "rfm_segments",
+    "robust_mom_daily",
+    "rollup_1d_distinct_hll",
+    "rollup_1d_hdr_quantiles",
+    "rollup_1d_hilo",
+    "rollup_1d_wow_change",
+    "rollup_7d_sliding_p99_hdr",
+    "sample_priority_weighted",
+    "sample_source_quota",
+    "sample_temperature_mixture",
+    "sax_motif_words",
+    "scd2_snapshot",
+    "seasonal_index_dow",
+    "series_align_locf",
+    "session_bounce_daily",
+    "session_path_trigrams",
+    "sessions_concurrent_peak",
+    "share_of_day_by_type",
+    "shingle_novelty_share",
+    "simsearch_pq_topk",
+    "simsearch_sq_topk",
+    "sketch_cms_token_freq",
+    "skew_audit_user_key",
+    "source_dup_profile",
+    "srm_chi2_daily",
+    "state_dwell_census",
+    "stl_decompose_hourly",
+    "temporal_filter_ewma",
+    "temporal_filter_runmedian",
+    "text_pii_scrub_stats",
+    "text_pmi_top_pairs",
+    "text_repetition_profile",
+    "text_token_entropy",
+    "text_ttr_hapax",
+    "text_winnow_stats",
+    "text_zipf_slope",
+    "tfidf_top_terms",
+    "tier_realtime_read_check",
+    "tier_snapshot_diff",
+    "time_to_convert_quantiles",
+    "time_weighted_median",
+    "token_rank_shift_weekly",
+    "trend_break_detect",
+    "truncation_loss_audit",
+    "unpivot_lineitem_measures",
+    "url_canonical_dups",
+    "url_host_census",
+    "user_type_mix_gini",
+    "value_decile_bounds_weekly",
+    "value_mode_daily",
+    "value_percentile_daily",
+    "velocity_bootstrap",
+    "velocity_rolling_30d",
+    "velocity_siegel",
+    "velocity_theilsen",
+    "vocab_frequency_census",
+    "wasserstein_drift_weekly",
+    "welch_weekday_weekend",
+    "winsorized_daily_mean",
+    "xcorr_daily_lag",
+    "zorder_cell_stats",
 )
 # --- end generated DRIVER_PRIORITY ---
 

@@ -1,0 +1,110 @@
+"""Round-4 batch b: the delta-of-delta timestamp codec's encoded SIZE
+under the driver oracle. codec_roundtrip (queries_ops.py:217) proves the
+codec lossless; this query proves the COMPRESSION — DuckDB independently
+derives the exact encoded byte count per key from the codec's published
+byte-class rule, so any layout drift (header width, class boundaries,
+payload packing) flips the driver hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mintpy_spark.queries import _q, load
+
+
+@_q(
+    "codec_dod_size_audit",
+    """
+    WITH s AS (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS d1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ), s2 AS (
+      SELECT user_id, rn,
+             d1 - lag(d1) OVER (PARTITION BY user_id ORDER BY rn) AS d2
+      FROM s
+    ), sz AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CASE WHEN rn >= 3 THEN
+                   CASE WHEN d2 = 0 THEN 0
+                        WHEN d2 BETWEEN -128 AND 127 THEN 1
+                        WHEN d2 BETWEEN -32768 AND 32767 THEN 2
+                        WHEN d2 BETWEEN -2147483648 AND 2147483647 THEN 4
+                        ELSE 8 END
+                 ELSE 0 END) AS payload
+      FROM s2 GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(CASE WHEN n <= 2 THEN 8 + 8 * n
+                     ELSE 24 + (n - 2) + payload END AS BIGINT) AS ts_bytes,
+           CAST((20000 * (CASE WHEN n <= 2 THEN 8 + 8 * n
+                               ELSE 24 + (n - 2) + payload END)
+                 + 8 * n) // (16 * n) AS BIGINT) AS ts_ratio_bp,
+           TRUE AS ts_exact,
+           TRUE AS f_exact
+    FROM sz
+    """,
+)
+def codec_dod_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key delta-of-delta encoded size + roundtrip flags, vs an oracle
+    that computes the size CLOSED-FORM from the codec spec: header 8 B;
+    n<=2 stores raw (8+8n); else 24 B (header + first two int64) +
+    one class byte per remaining point + zig-zag payload bytes
+    {0,1,2,4,8} chosen by the second difference's range (class 1 iff
+    d2 in [-128,127], etc. — zig-zag maps those ranges exactly onto the
+    unsigned byte-count buckets). ts_exact / f_exact additionally assert
+    decode(encode(x)) is BIT-exact inside the engine; the oracle pins
+    them TRUE, so a roundtrip regression also flips the hash.
+
+    Scale: ONE shuffle (groupBy key -> applyInPandas, the same
+    Arrow-batched seam as the production pack_blocks writer); the audit
+    is how a 100 TB deployment spot-checks cold-tier compression ratio
+    per partition without reading blobs back."""
+    from mintpy_spark.codecs.gorilla import (
+        decode_floats,
+        decode_timestamps,
+        encode_floats,
+        encode_timestamps,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("value").cast("double").alias("v"),
+    )
+    schema = (
+        "user_id long, n long, ts_bytes long, ts_ratio_bp long,"
+        " ts_exact boolean, f_exact boolean"
+    )
+
+    def audit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "v"], kind="mergesort")
+        t = pdf["t"].to_numpy(np.int64)
+        v = pdf["v"].to_numpy(np.float64)
+        blob = encode_timestamps(t)
+        ts_exact = bool(np.array_equal(decode_timestamps(blob), t))
+        fblob = encode_floats(v)
+        f_exact = bool(
+            np.array_equal(
+                decode_floats(fblob).view(np.uint64), v.view(np.uint64)
+            )
+        )
+        n, b = len(t), len(blob)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [n],
+                "ts_bytes": [b],
+                "ts_ratio_bp": [(20000 * b + 8 * n) // (16 * n)],
+                "ts_exact": [ts_exact],
+                "f_exact": [f_exact],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(audit, schema)

@@ -1,0 +1,57 @@
+"""Round-4 batch b planted truth: delta-of-delta encoded sizes for
+hand-crafted series hit the closed form the oracle uses."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import numpy as np
+
+
+def test_encode_timestamps_sizes_match_closed_form():
+    from mintpy_spark.codecs.gorilla import encode_timestamps
+
+    us = 1_000_000
+    # perfectly regular grid, n=5: 8 header + 16 first-two + 3 class
+    # bytes (all class 0) + 0 payload = 27
+    t = np.arange(5, dtype=np.int64) * 3600 * us
+    assert len(encode_timestamps(t)) == 27
+    # n=2 stores raw: 8 + 16
+    assert len(encode_timestamps(t[:2])) == 24
+    # one +1s jitter at position 2 -> d1 = [3600, 3601, 3599, 3600] s,
+    # d2 = [+1s, -2s, +1s]: three 4-byte classes = 24 + 3 + 12 = 39
+    t2 = t.copy(); t2[2] += us
+    assert len(encode_timestamps(t2)) == 39
+    # byte-boundary classes: d2 of 127/-128 -> 1 byte; 128 -> 2 bytes
+    base = np.array([0, 1000], dtype=np.int64)
+    for d2, nbytes in ((0, 0), (127, 1), (-128, 1), (128, 2), (-129, 2),
+                       (32767, 2), (32768, 4), (-2147483648, 4),
+                       (2147483648, 8)):
+        t3 = np.array([0, 1000, 2000 + d2], dtype=np.int64)
+        assert len(encode_timestamps(t3)) == 24 + 1 + nbytes, d2
+
+
+def test_codec_dod_size_audit_query(spark):
+    from mintpy_spark.queries_r4b import codec_dod_size_audit
+
+    t0 = dt.datetime(2024, 7, 1)
+    rows = []
+    # user 1: regular hourly grid (n=4) -> 24 + 2 + 0 = 26
+    for h in range(4):
+        rows.append((1, t0 + dt.timedelta(hours=h), h, "view", 1.5, None))
+    # user 2: two points -> raw 24
+    rows += [(2, t0, 10, "view", 2.5, None), (2, t0 + dt.timedelta(hours=1), 11, "view", 3.5, None)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.user_id: r.asDict() for r in codec_dod_size_audit(spark, d).collect()}
+    assert got[1]["ts_bytes"] == 26 and got[1]["n"] == 4
+    assert got[2]["ts_bytes"] == 24 and got[2]["n"] == 2
+    assert all(r["ts_exact"] and r["f_exact"] for r in got.values())
+    # ratio: user1 = round(10000*26/32) = 8125 bp
+    assert got[1]["ts_ratio_bp"] == 8125
