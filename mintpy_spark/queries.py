@@ -464,7 +464,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 173 entries: 2 red-in-latest-driver-check first, then 171 never
+# 174 entries: 2 red-in-latest-driver-check first, then 172 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -487,6 +487,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cadence_interarrival_cv",
     "cms_30d_merge_topfreq",
     "codec_dod_size_audit",
+    "codec_text_blob_roundtrip",
     "cohort_retention_weekly",
     "conversion_hazard_daily",
     "conversion_rate_wilson",

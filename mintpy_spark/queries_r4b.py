@@ -108,3 +108,48 @@ def codec_dod_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ev.groupBy("user_id").applyInPandas(audit, schema)
+
+
+@_q(
+    "codec_text_blob_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS text_md5, n_chars
+    FROM documents
+    """,
+)
+def codec_text_blob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant — byte-identical text through
+    the cold-tier block codec — under the driver hash: every document's
+    text rides the zlib text side-channel of pack_blocks (one compressed
+    blob + length ledger per block), is unpacked back to bytes, and is
+    fingerprinted with md5; the oracle hashes the source column directly,
+    so ONE flipped byte anywhere in pack/unpack flips the driver hash.
+    codec_roundtrip (queries_ops.py:217) covers the value/timestamp
+    channels; this covers the text channel end-to-end.
+
+    Block keying: a synthetic hourly timestamp (doc_id hours) splits each
+    source into ~720-doc blocks under the standard 30d window — the same
+    bounded-block discipline the production writer uses (a per-source
+    single block would concentrate a source's whole corpus in one row).
+    doc_id rides the timestamp channel (exact int64 microseconds) and
+    n_chars rides the float channel (exact below 2^53)."""
+    from mintpy_spark.codecs.blocks import pack_blocks, unpack_blocks
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.timestamp_micros(F.col("doc_id") * F.lit(3_600_000_000)).alias("ts"),
+        F.col("n_chars").cast("double").alias("v"),
+        "text",
+    )
+    blocks = pack_blocks(
+        docs, "v", text_col="text", window="30d",
+        key="source", ts="ts", value_dtype="float64",
+    )
+    back = unpack_blocks(blocks, with_text=True)
+    return back.select(
+        (F.unix_micros("warc_ts") / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        F.col("value").cast("long").alias("n_chars"),
+    )

@@ -55,3 +55,32 @@ def test_codec_dod_size_audit_query(spark):
     assert all(r["ts_exact"] and r["f_exact"] for r in got.values())
     # ratio: user1 = round(10000*26/32) = 8125 bp
     assert got[1]["ts_ratio_bp"] == 8125
+
+
+def test_codec_text_blob_roundtrip_query_with_null_text(spark):
+    """NULL text must ledger as NULL through the blob (never fabricate
+    b'None'), and md5s must match the source bytes for the rest."""
+    import pyspark.sql.functions as F
+
+    from mintpy_spark.queries_r4b import codec_text_blob_roundtrip
+
+    rows = [
+        (0, "hello world", "en", "web", 11),
+        (1, None, "en", "web", 0),
+        (2, "καλημέρα", "el", "news", 8),  # multibyte utf-8
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r.asDict() for r in codec_text_blob_roundtrip(spark, d).collect()}
+        want = {
+            r.doc_id: r.m
+            for r in df.select("doc_id", F.md5("text").alias("m")).collect()
+        }
+    assert set(got) == {0, 1, 2}
+    assert got[1]["text_md5"] is None
+    for i in (0, 2):
+        assert got[i]["text_md5"] == want[i]
+    assert got[2]["n_chars"] == 8
