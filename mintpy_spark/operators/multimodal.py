@@ -122,7 +122,9 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """BMP bytes -> RGB uint8 array (h, w, 3). Real decode: parses the
-    BITMAPFILEHEADER/BITMAPINFOHEADER, honors the pixel-data offset,
+    BITMAPFILEHEADER and either DIB header generation — the 12-byte
+    BITMAPCOREHEADER (OS/2 v1: uint16 dims, no compression field) or the
+    40+-byte BITMAPINFOHEADER family — honoring the pixel-data offset,
     row padding, bottom-up vs top-down orientation, and BGR order.
     Only the uncompressed 24-bpp profile is supported (anything else is
     where PIL would slot in)."""
@@ -130,12 +132,18 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("not a BMP payload")
     pix_off = int.from_bytes(payload[10:14], "little")
     dib = int.from_bytes(payload[14:18], "little")
-    if dib < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
-    w = int.from_bytes(payload[18:22], "little", signed=True)
-    h = int.from_bytes(payload[22:26], "little", signed=True)
-    bpp = int.from_bytes(payload[28:30], "little")
-    comp = int.from_bytes(payload[30:34], "little")
+    if dib == 12:  # BITMAPCOREHEADER: uint16 w/h, always bottom-up
+        w = int.from_bytes(payload[18:20], "little")
+        h = int.from_bytes(payload[20:22], "little")
+        bpp = int.from_bytes(payload[24:26], "little")
+        comp = 0  # the core header has no compression field
+    elif dib < 40:
+        raise NotImplementedError(f"unknown {dib}-byte BMP DIB header")
+    else:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
             f"only uncompressed 24-bpp BMP decoded here (got bpp={bpp}, "

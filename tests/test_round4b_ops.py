@@ -84,3 +84,27 @@ def test_codec_text_blob_roundtrip_query_with_null_text(spark):
     for i in (0, 2):
         assert got[i]["text_md5"] == want[i]
     assert got[2]["n_chars"] == 8
+
+
+def test_decode_bmp_coreheader():
+    """BITMAPCOREHEADER (OS/2 v1, 12-byte DIB): uint16 dims, bottom-up
+    BGR rows with 4-byte padding — byte-exact against the same pixel
+    array encoded via the BITMAPINFOHEADER encoder."""
+    from mintpy_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    h, w = img.shape[:2]
+    row = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    pix_off = 14 + 12
+    payload = (
+        b"BM" + (pix_off + body.size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + pix_off.to_bytes(4, "little")
+        + (12).to_bytes(4, "little")
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + body.tobytes()
+    )
+    assert np.array_equal(decode_bmp(payload), img)
