@@ -293,63 +293,14 @@ def encode_png_palette(
     return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes -> RGB(A) uint8 array (h, w, 3|4). Real decode, pure
-    stdlib + NumPy: chunk walk, zlib-inflated IDAT, and full scanline
-    un-filtering (all five filter types 0-4). Supported profile: 8-bit
-    truecolor/truecolor-alpha AND paletted (color type 3, PLTE chunk,
-    bit depths 1/2/4/8, optional tRNS alpha), non-interlaced — together
-    the overwhelmingly common web profiles; 16-bit/interlaced is where
-    PIL would slot in.
-
-    Un-filtering: None and Up vectorize whole-row; Sub is a per-lane
-    modular cumsum; Average and Paeth carry a nonlinear left-dependency,
-    so they fall back to a per-pixel loop on just those rows (an encoder
-    emitting filter 0, like ours, never pays it).
-    """
-    import zlib
-
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, w = 8, None
-    plte = trns = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos : pos + 4], "big")
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if tag == b"IHDR":
-            w = int.from_bytes(body[0:4], "big")
-            h = int.from_bytes(body[4:8], "big")
-            depth, ctype, _comp, _filt, interlace = body[8:13]
-            ok = (ctype in (2, 6) and depth == 8) or (
-                ctype == 3 and depth in (1, 2, 4, 8)
-            )
-            if not ok or interlace:
-                raise NotImplementedError(
-                    f"only non-interlaced 8-bit truecolor(+alpha) or "
-                    f"1/2/4/8-bit paletted PNG decoded here (depth={depth}, "
-                    f"colortype={ctype}, interlace={interlace}); 16-bit/"
-                    f"interlaced need PIL"
-                )
-            ch = {2: 3, 3: 1, 6: 4}[ctype]
-        elif tag == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif tag == b"tRNS":
-            trns = np.frombuffer(body, np.uint8)
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    # stride in BYTES; the filter offset `fo` is bytes-per-pixel floored
-    # to >= 1 (PNG spec: for sub-byte depths, `a` is the byte one back)
-    stride = (w * ch * depth + 7) // 8
-    fo = max(1, (ch * depth) // 8)
-    rows = raw.reshape(h, stride + 1)
+def _png_unfilter(rows: np.ndarray, stride: int, fo: int) -> np.ndarray:
+    """Un-filter one (sub-)image: rows is (h, stride+1) raw bytes with the
+    per-scanline filter byte in column 0; returns (h, stride) uint8.
+    None and Up vectorize whole-row; Sub is a per-lane modular cumsum;
+    Average and Paeth carry a nonlinear left-dependency, so they fall
+    back to a per-pixel loop on just those rows (an encoder emitting
+    filter 0, like ours, never pays it)."""
+    h = rows.shape[0]
     out = np.zeros((h, stride), np.uint16)
     prior = np.zeros(stride, np.uint16)
     for y in range(h):
@@ -371,26 +322,115 @@ def decode_png(payload: bytes) -> np.ndarray:
                     rec[i] = (int(line[i]) + ((a + b) >> 1)) & 0xFF
                 else:
                     c = int(prior[i - fo]) if i >= fo else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     rec[i] = (int(line[i]) + pred) & 0xFF
         out[y] = rec
         prior = rec
-    bytes_out = out.astype(np.uint8)
-    if plte is None:
-        return bytes_out.reshape(h, w, ch)
-    # paletted: unpack sub-byte indices (big-endian within each byte),
-    # then one vectorized LUT gather index -> RGB(A)
+    return out.astype(np.uint8)
+
+
+def _png_bytes_to_samples(
+    b: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> samples. 8-bit: (h, w, ch)
+    channel array. Sub-byte (paletted): (h, w) index array, unpacking
+    MSB-first within each byte and discarding row-padding bits."""
+    h, stride = b.shape
     if depth == 8:
-        idx = bytes_out[:, :w]
+        if ch == 1:
+            return b[:, :w]
+        return b.reshape(h, w, ch) if stride == w * ch else b[:, : w * ch].reshape(h, w, ch)
+    bits = np.unpackbits(b, axis=1)
+    per = 8 // depth
+    idx = np.zeros((h, stride * per), np.uint8)
+    for k in range(depth):
+        idx = (idx << 1) | bits[:, k::depth][:, : stride * per]
+    return idx[:, :w]
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> RGB(A) uint8 array (h, w, 3|4). Real decode, pure
+    stdlib + NumPy: chunk walk, zlib-inflated IDAT, full scanline
+    un-filtering (all five filter types 0-4), and Adam7 de-interlacing.
+    Supported profile: 8-bit truecolor/truecolor-alpha AND paletted
+    (color type 3, PLTE chunk, bit depths 1/2/4/8, optional tRNS alpha),
+    interlaced or not — together the overwhelmingly common web profiles;
+    16-bit is where PIL would slot in.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    plte = trns = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, _comp, _filt, interlace = body[8:13]
+            ok = (ctype in (2, 6) and depth == 8) or (
+                ctype == 3 and depth in (1, 2, 4, 8)
+            )
+            if not ok:
+                raise NotImplementedError(
+                    f"only 8-bit truecolor(+alpha) or 1/2/4/8-bit paletted "
+                    f"PNG decoded here (depth={depth}, colortype={ctype}); "
+                    f"16-bit needs PIL"
+                )
+            ch = {2: 3, 3: 1, 6: 4}[ctype]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    # the filter offset `fo` is bytes-per-pixel floored to >= 1 (PNG
+    # spec: for sub-byte depths, `a` is the byte one back)
+    fo = max(1, (ch * depth) // 8)
+
+    if not interlace:
+        stride = (w * ch * depth + 7) // 8
+        rows = raw.reshape(h, stride + 1)
+        samples = _png_bytes_to_samples(_png_unfilter(rows, stride, fo), w, ch, depth)
     else:
-        bits = np.unpackbits(bytes_out, axis=1)
-        per = 8 // depth
-        idx = np.zeros((h, stride * per), np.uint8)
-        for b in range(depth):
-            idx = (idx << 1) | bits[:, b::depth][:, : stride * per]
-        idx = idx[:, :w]
+        # Adam7: seven independently-filtered sub-images concatenated in
+        # the deflate stream; scatter each onto its (y0::dy, x0::dx) grid
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        samples = np.zeros(shape, np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = (wp * ch * depth + 7) // 8
+            rows = raw[off : off + hp * (sp + 1)].reshape(hp, sp + 1)
+            off += hp * (sp + 1)
+            sub = _png_bytes_to_samples(_png_unfilter(rows, sp, fo), wp, ch, depth)
+            samples[y0::dy, x0::dx] = sub
+
+    if plte is None:
+        return samples
+    idx = samples
     if idx.max(initial=0) >= plte.shape[0]:
         raise ValueError("PNG palette index out of range")
     rgb = plte[idx]

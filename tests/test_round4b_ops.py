@@ -108,3 +108,64 @@ def test_decode_bmp_coreheader():
         + body.tobytes()
     )
     assert np.array_equal(decode_bmp(payload), img)
+
+
+def _png_chunk(tag, body):
+    import zlib
+    return (len(body).to_bytes(4, "big") + tag + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def test_decode_png_adam7_truecolor_and_paletted():
+    """Adam7 de-interlacing: forward-build the seven filter-0 sub-images
+    per the spec grid and require byte-exact reassembly — for 8-bit
+    truecolor on a non-multiple-of-8 canvas (pass-skip + ragged passes)
+    and for 4-bit paletted (sub-byte packing inside each pass)."""
+    import zlib
+
+    from mintpy_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(23)
+
+    # truecolor 10x9
+    img = rng.integers(0, 256, (9, 10, 3), dtype=np.uint8)
+    h, w = img.shape[:2]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 1])
+    payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
+
+    # 4-bit paletted 7x5
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    h, w = idx.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            line = bytearray()
+            for i in range(0, len(row), 2):
+                hi = int(row[i]) << 4
+                lo = int(row[i + 1]) if i + 1 < len(row) else 0
+                line.append(hi | lo)
+            raw += b"\x00" + bytes(line)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([4, 3, 0, 0, 1])
+    payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", palette.tobytes())
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), palette[idx])
