@@ -464,7 +464,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 174 entries: 2 red-in-latest-driver-check first, then 172 never
+# 175 entries: 2 red-in-latest-driver-check first, then 173 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -636,6 +636,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "velocity_siegel",
     "velocity_theilsen",
     "vocab_frequency_census",
+    "warc_roundtrip",
     "wasserstein_drift_weekly",
     "welch_weekday_weekend",
     "winsorized_daily_mean",

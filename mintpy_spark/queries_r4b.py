@@ -153,3 +153,85 @@ def codec_text_blob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.col("value").cast("long").alias("n_chars"),
     )
+
+
+@_q(
+    "warc_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS text_md5, TRUE AS is_response
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC ingest seam (sources/warc.py) under the driver hash:
+    documents are encoded into Common-Crawl-layout .warc.gz blobs (one
+    gzip member per record, ~100 records per blob — applyInPandas over a
+    bounded block key), parsed back through the REAL reader path
+    (the same stdlib parser read_warc's mapInPandas stage runs), and the
+    recovered HTTP bodies md5-fingerprinted. The oracle hashes the source
+    text directly, so any byte lost or altered across WARC header
+    formatting, per-member gzip, record splitting, HTTP envelope
+    stripping, or timestamp parsing flips the hash. doc_id rides the
+    WARC-Target-URI path segment.
+
+    Scale: the parse side is exactly production ingest — one task per
+    WARC blob (Common Crawl ships ~1 GB files; file-per-task is the
+    public CC processing convention), zero shuffles after the bounded
+    encode stage."""
+    import datetime as _dt
+
+    from mintpy_spark.sources.warc import encode_warc, parse_warc
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") / 100).cast("long").alias("blk"), "doc_id", "text"
+    )
+
+    def to_warc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        epoch = _dt.datetime(2024, 1, 1)
+        recs = [
+            (
+                f"https://corpus.example/{int(r.doc_id)}",
+                epoch + _dt.timedelta(seconds=int(r.doc_id)),
+                str(r.text).encode("utf-8"),
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+        return pd.DataFrame(
+            {"blk": [pdf["blk"].iloc[0]], "blob": [encode_warc(recs, gzip_members=True)]}
+        )
+
+    blobs = docs.groupBy("blk").applyInPandas(to_warc, "blk long, blob binary")
+
+    def from_warc(batches):
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                rows = parse_warc(bytes(r.blob))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": [
+                                int(x["url"].rsplit("/", 1)[1]) for x in rows
+                            ],
+                            "html": [x["html"] for x in rows],
+                            "is_response": [
+                                x["record_type"] == "response"
+                                and x["http_status"] == 200
+                                and x["warc_ts"] is not None
+                                for x in rows
+                            ],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    parsed = blobs.mapInPandas(
+        from_warc, "doc_id long, html binary, is_response boolean"
+    )
+    return parsed.select(
+        "doc_id", F.md5("html").alias("text_md5"), "is_response"
+    )
