@@ -452,6 +452,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r3an  # noqa: F401  (sequence-pattern census)
     import mintpy_spark.queries_r4a  # noqa: F401  (realtime tier read / deramped RMS)
     import mintpy_spark.queries_r4b  # noqa: F401  (dod codec size audit)
+    import mintpy_spark.queries_r4c  # noqa: F401  (gorilla float size audit)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -464,7 +465,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 175 entries: 2 red-in-latest-driver-check first, then 173 never
+# 176 entries: 2 red-in-latest-driver-check first, then 174 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -487,6 +488,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cadence_interarrival_cv",
     "cms_30d_merge_topfreq",
     "codec_dod_size_audit",
+    "codec_gorilla_size_audit",
     "codec_text_blob_roundtrip",
     "cohort_retention_weekly",
     "conversion_hazard_daily",
