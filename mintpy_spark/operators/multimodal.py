@@ -248,6 +248,66 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + tag + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _pack_subbyte(idx: np.ndarray, depth: int) -> np.ndarray:
+    """Sample array (h, w) with values < 2**depth -> packed scanline bytes
+    (h, stride), MSB-first within each byte per the PNG spec."""
+    h, w = idx.shape
+    if depth == 8:
+        return idx
+    per = 8 // depth
+    pad = (-w) % per
+    padded = np.pad(idx, ((0, 0), (0, pad)))
+    bits = (
+        (padded[..., None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, -1).astype(np.uint8)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png_gray(
+    gray: np.ndarray, depth: int = 8, alpha: np.ndarray | None = None,
+    trns_level: int | None = None,
+) -> bytes:
+    """Grayscale sample array (h, w) with raw values < 2**depth -> PNG
+    bytes (color type 0, depths 1/2/4/8; or color type 4 gray+alpha at
+    depth 8 when ``alpha`` is given). ``trns_level`` adds a 2-byte tRNS
+    chunk (color-type-0 transparency). Fixture encoder for the grayscale
+    decode path — pure stdlib like encode_png."""
+    import zlib
+
+    h, w = gray.shape
+    assert gray.dtype == np.uint8 and depth in (1, 2, 4, 8)
+    assert int(gray.max(initial=0)) < (1 << depth)
+    if alpha is not None:
+        assert depth == 8 and alpha.shape == gray.shape
+        ctype = 4
+        packed = np.stack([gray, alpha], axis=2).reshape(h, w * 2)
+    else:
+        ctype = 0
+        packed = _pack_subbyte(gray, depth)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), packed], axis=1
+    ).tobytes()
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, ctype, 0, 0, 0])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if trns_level is not None:
+        out += _png_chunk(b"tRNS", int(trns_level).to_bytes(2, "big"))
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(
+        b"IEND", b""
+    )
+
+
 def encode_png_palette(
     idx: np.ndarray, palette: np.ndarray, depth: int = 8,
     trns: bytes | None = None,
@@ -361,10 +421,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> RGB(A) uint8 array (h, w, 3|4). Real decode, pure
     stdlib + NumPy: chunk walk, zlib-inflated IDAT, full scanline
     un-filtering (all five filter types 0-4), and Adam7 de-interlacing.
-    Supported profile: 8-bit truecolor/truecolor-alpha AND paletted
-    (color type 3, PLTE chunk, bit depths 1/2/4/8, optional tRNS alpha),
-    interlaced or not — together the overwhelmingly common web profiles;
-    16-bit is where PIL would slot in.
+    Supported profile: 8-bit truecolor/truecolor-alpha, grayscale
+    (color type 0, depths 1/2/4/8, optional 2-byte tRNS level),
+    gray+alpha (color type 4, depth 8) AND paletted (color type 3, PLTE
+    chunk, bit depths 1/2/4/8, optional tRNS alpha), interlaced or not —
+    together the overwhelmingly common web profiles; 16-bit is where PIL
+    would slot in.
     """
     import zlib
 
@@ -383,15 +445,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             h = int.from_bytes(body[4:8], "big")
             depth, ctype, _comp, _filt, interlace = body[8:13]
             ok = (ctype in (2, 6) and depth == 8) or (
-                ctype == 3 and depth in (1, 2, 4, 8)
-            )
+                ctype in (0, 3) and depth in (1, 2, 4, 8)
+            ) or (ctype == 4 and depth == 8)
             if not ok:
                 raise NotImplementedError(
-                    f"only 8-bit truecolor(+alpha) or 1/2/4/8-bit paletted "
-                    f"PNG decoded here (depth={depth}, colortype={ctype}); "
-                    f"16-bit needs PIL"
+                    f"only 8-bit truecolor(+alpha), 8-bit gray(+alpha) or "
+                    f"1/2/4/8-bit gray/paletted PNG decoded here "
+                    f"(depth={depth}, colortype={ctype}); 16-bit needs PIL"
                 )
-            ch = {2: 3, 3: 1, 6: 4}[ctype]
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
         elif tag == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
@@ -428,6 +490,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             sub = _png_bytes_to_samples(_png_unfilter(rows, sp, fo), wp, ch, depth)
             samples[y0::dy, x0::dx] = sub
 
+    if ctype == 0:
+        # grayscale: scale raw samples to 8-bit (255/(2^d-1) is integral
+        # for d in 1/2/4/8), expand to RGB; tRNS holds a 2-byte gray
+        # level that maps to alpha 0
+        g8 = (
+            samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)
+        rgb = np.repeat(g8[..., None], 3, axis=2)
+        if trns is None or trns.shape[0] < 2:
+            return rgb
+        level = (int(trns[0]) << 8) | int(trns[1])
+        alpha = np.where(samples.astype(np.int32) == level, 0, 255)
+        return np.concatenate(
+            [rgb, alpha.astype(np.uint8)[..., None]], axis=2
+        )
+    if ctype == 4:
+        rgb = np.repeat(samples[..., 0:1], 3, axis=2)
+        return np.concatenate([rgb, samples[..., 1:2]], axis=2)
     if plte is None:
         return samples
     idx = samples

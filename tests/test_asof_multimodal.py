@@ -367,3 +367,40 @@ def test_asof_tolerance_staleness_uses_the_matched_row(spark):
     r = asof_join_tolerance(left, right, "k", "ts", 3600).collect()[0]
     assert r.v is None
     assert r.asof_ts == _ts("2023-01-01 02:00:00")
+
+
+def test_png_grayscale_roundtrip_all_depths():
+    """Grayscale decode (color type 0): raw samples scale to 8-bit by the
+    exact 255/(2^d-1) factor at every legal sub-16 depth, sub-byte
+    MSB-first packing with padding bits discarded, 2-byte tRNS level ->
+    alpha 0, and gray+alpha (color type 4) pairs split correctly."""
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import (
+        decode_png, encode_png_gray, sniff_media_type,
+    )
+
+    rng = np.random.default_rng(11)
+    for depth, w in ((1, 13), (2, 7), (4, 5), (8, 6)):
+        g = rng.integers(0, 1 << depth, (4, w), dtype=np.uint8)
+        payload = encode_png_gray(g, depth=depth)
+        assert sniff_media_type(payload) == "image/png"
+        got = decode_png(payload)
+        assert got.shape == (4, w, 3), (depth, w)
+        g8 = (g.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(g8[..., None], 3, axis=2)), depth
+
+    # tRNS level: matching raw samples get alpha 0, everything else 255
+    g = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    got = decode_png(encode_png_gray(g, depth=2, trns_level=2))
+    assert got.shape == (1, 4, 4)
+    assert got[0, :, 3].tolist() == [255, 255, 0, 255]
+    assert got[0, :, 0].tolist() == [0, 85, 170, 255]
+
+    # gray+alpha (color type 4): interleaved (g, a) pairs
+    g = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    a = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    got = decode_png(encode_png_gray(g, depth=8, alpha=a))
+    assert got.shape == (3, 5, 4)
+    assert np.array_equal(got[..., 0], g) and np.array_equal(got[..., 3], a)
+    assert np.array_equal(got[..., 1], g) and np.array_equal(got[..., 2], g)
