@@ -187,8 +187,13 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (int16 samples (n, channels), sample_rate). Real
     decode: walks the RIFF chunk list (including odd-size padding), reads
-    the PCM fmt chunk, reshapes the data chunk. Only 16-bit PCM is
-    supported (compressed codecs are where ffmpeg would slot in)."""
+    the fmt chunk, reshapes the data chunk. Supported: PCM at 8 (unsigned,
+    re-centered), 16 (native), 24 (sign-extended) and 32 bits, IEEE
+    float32, and WAVE_FORMAT_EXTENSIBLE wrapping either — wider-than-16
+    samples downconvert to int16 by taking the top 16 bits, the standard
+    lossy narrowing (amplitude semantics preserved for the RMS features
+    downstream). Compressed codecs (ADPCM/MP3/...) are where ffmpeg would
+    slot in."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     fmt = data = None
@@ -208,12 +213,34 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only 16-bit PCM WAV decoded here (format={audio_format}, "
-            f"bits={bits}); compressed codecs need ffmpeg"
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes
+        # of the SubFormat GUID at offset 24 of the fmt body
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, np.int16)
+    elif audio_format == 1 and bits == 8:
+        # 8-bit PCM is unsigned, midpoint 128; widen to the int16 scale
+        samples = (
+            (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8
         )
-    samples = np.frombuffer(data, np.int16)
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(data, np.uint8)
+        b = b[: len(b) // 3 * 3].reshape(-1, 3).astype(np.int32)
+        raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+        samples = (raw >> 8).astype(np.int16)
+    elif audio_format == 1 and bits == 32:
+        samples = (np.frombuffer(data, np.int32) >> 16).astype(np.int16)
+    elif audio_format == 3 and bits == 32:
+        f = np.clip(np.frombuffer(data, np.float32), -1.0, 1.0)
+        samples = np.round(f * 32767.0).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"only 8/16/24/32-bit PCM or float32 WAV decoded here "
+            f"(format={audio_format}, bits={bits}); compressed codecs "
+            f"need ffmpeg"
+        )
     samples = samples[: len(samples) // channels * channels]
     return samples.reshape(-1, channels).copy(), rate
 

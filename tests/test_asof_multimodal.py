@@ -404,3 +404,65 @@ def test_png_grayscale_roundtrip_all_depths():
     assert got.shape == (3, 5, 4)
     assert np.array_equal(got[..., 0], g) and np.array_equal(got[..., 3], a)
     assert np.array_equal(got[..., 1], g) and np.array_equal(got[..., 2], g)
+
+
+def test_wav_wide_and_narrow_pcm_profiles():
+    """WAV decode beyond 16-bit PCM: 8-bit unsigned re-centers at 128,
+    24-bit sign-extends then keeps the top 16 bits, 32-bit PCM and
+    float32 narrow to int16, and WAVE_FORMAT_EXTENSIBLE unwraps to the
+    GUID's real format. Compressed formats still fail loudly."""
+    import numpy as np
+    import pytest
+
+    from mintpy_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_body: bytes, data: bytes) -> bytes:
+        chunks = (b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+                  + b"data" + len(data).to_bytes(4, "little") + data
+                  + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    def fmt(audio_format: int, ch: int, rate: int, bits: int,
+            extra: bytes = b"") -> bytes:
+        block = ch * bits // 8
+        return (audio_format.to_bytes(2, "little") + ch.to_bytes(2, "little")
+                + rate.to_bytes(4, "little")
+                + (rate * block).to_bytes(4, "little")
+                + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+                + extra)
+
+    # 8-bit unsigned PCM: 128 -> 0, 129 -> 256, 0 -> -32768
+    s, r = decode_wav(wav(fmt(1, 1, 8000, 8), bytes([128, 129, 0, 255])))
+    assert r == 8000 and s[:, 0].tolist() == [0, 256, -32768, 32512]
+
+    # 24-bit PCM: top 16 bits survive; sign extension on the high byte
+    vals = [0x000100, 0x7FFFFF, 0x800000, 0xFFFFFF]  # LE 3-byte payloads
+    data = b"".join(v.to_bytes(3, "little") for v in vals)
+    s, _ = decode_wav(wav(fmt(1, 1, 44100, 24), data))
+    assert s[:, 0].tolist() == [1, 32767, -32768, -1]
+
+    # 32-bit PCM narrows by >> 16
+    data = np.array([1 << 16, -(1 << 16), 0x7FFFFFFF], np.int32).tobytes()
+    s, _ = decode_wav(wav(fmt(1, 1, 16000, 32), data))
+    assert s[:, 0].tolist() == [1, -1, 32767]
+
+    # float32 scales [-1, 1] to int16 with clipping
+    data = np.array([0.0, 1.0, -1.0, 2.0, 0.5], np.float32).tobytes()
+    s, _ = decode_wav(wav(fmt(3, 1, 48000, 32), data))
+    assert s[:, 0].tolist() == [0, 32767, -32767, 32767, 16384]
+
+    # EXTENSIBLE wrapping PCM16: cbSize(2) + validbits(2) + mask(4) + GUID
+    guid = (1).to_bytes(2, "little") + bytes(14)
+    ext = (22).to_bytes(2, "little") + (16).to_bytes(2, "little") + bytes(4) + guid
+    data = np.array([5, -7], np.int16).tobytes()
+    s, _ = decode_wav(wav(fmt(0xFFFE, 1, 22050, 16, ext), data))
+    assert s[:, 0].tolist() == [5, -7]
+
+    # stereo interleave still splits channels for wide samples
+    data = bytes([0, 128, 255, 128])  # L=-32768-ish, R=32512-ish offsets
+    s, _ = decode_wav(wav(fmt(1, 2, 8000, 8), data))
+    assert s.shape == (2, 2)
+
+    # ADPCM (format 2) keeps failing loudly at the ffmpeg seam
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(fmt(2, 1, 8000, 4), b"\x00\x00"))
