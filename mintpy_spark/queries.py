@@ -453,6 +453,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4a  # noqa: F401  (realtime tier read / deramped RMS)
     import mintpy_spark.queries_r4b  # noqa: F401  (dod codec size audit)
     import mintpy_spark.queries_r4c  # noqa: F401  (gorilla float size audit)
+    import mintpy_spark.queries_r4d  # noqa: F401  (readability / Heaps curves)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -465,7 +466,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 176 entries: 2 red-in-latest-driver-check first, then 174 never
+# 178 entries: 2 red-in-latest-driver-check first, then 176 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -494,6 +495,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "conversion_hazard_daily",
     "conversion_rate_wilson",
     "cooccurrence_lift_daily",
+    "corpus_heaps_curve",
     "corr_len_tokens",
     "counter_rate_1d",
     "coverage_seconds_daily",
@@ -613,6 +615,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "temporal_filter_runmedian",
     "text_pii_scrub_stats",
     "text_pmi_top_pairs",
+    "text_readability_census",
     "text_repetition_profile",
     "text_token_entropy",
     "text_ttr_hapax",
