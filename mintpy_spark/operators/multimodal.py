@@ -144,19 +144,130 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         h = int.from_bytes(payload[22:26], "little", signed=True)
         bpp = int.from_bytes(payload[28:30], "little")
         comp = int.from_bytes(payload[30:34], "little")
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(
-            f"only uncompressed 24-bpp BMP decoded here (got bpp={bpp}, "
-            f"compression={comp}); compressed profiles need PIL"
-        )
     bottom_up = h > 0
     hh = abs(h)
+    if bpp == 8 and comp in (0, 1) and dib >= 40:
+        # paletted profile: BGRA color table follows the DIB header
+        # (biClrUsed entries, 0 meaning 256)
+        used = int.from_bytes(payload[46:50], "little") or 256
+        pal = np.frombuffer(
+            payload, np.uint8, count=used * 4, offset=14 + dib
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        if comp == 0:
+            row = (w + 3) // 4 * 4
+            body = np.frombuffer(payload, np.uint8, count=row * hh, offset=pix_off)
+            idx = body.reshape(hh, row)[:, :w]
+        else:
+            idx = _bmp_unrle8(payload[pix_off:], w, hh)
+        if bottom_up:
+            idx = idx[::-1]
+        return pal[idx].copy()
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bpp or 8-bpp paletted/RLE8 BMP decoded "
+            f"here (got bpp={bpp}, compression={comp}); other profiles "
+            f"need PIL"
+        )
     row = (w * 3 + 3) // 4 * 4
     body = np.frombuffer(payload, np.uint8, count=row * hh, offset=pix_off)
     img = body.reshape(hh, row)[:, : w * 3].reshape(hh, w, 3)
     if bottom_up:
         img = img[::-1]
     return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _bmp_unrle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """RLE8 decompress -> (h, w) uint8 index rows in FILE order (caller
+    flips for bottom-up). Encoded runs are (count, value) pairs; count 0
+    escapes to end-of-line (0), end-of-bitmap (1), delta (2, dx, dy) or a
+    word-aligned literal run. Sequential by construction — per-payload
+    work inside the Arrow decode seam."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data):
+        if y >= h:
+            break
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # run
+            n = min(cnt, w - x)
+            out[y, x : x + n] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta jump
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # literal run of `val` bytes, padded to a word boundary
+            lit = np.frombuffer(data, np.uint8, count=val, offset=pos)
+            n = min(val, w - x)
+            out[y, x : x + n] = lit[:n]
+            x += val
+            pos += val + (val & 1)
+    return out
+
+
+def encode_bmp8(
+    idx: np.ndarray, palette: np.ndarray, rle: bool = False
+) -> bytes:
+    """Index array (h, w) + palette (n, 3) RGB -> 8-bpp paletted BMP
+    bytes (BITMAPINFOHEADER, bottom-up, BGRA color table), uncompressed
+    or RLE8. Fixture encoder for the paletted decode path; the RLE
+    stream mixes runs, word-aligned literals and end-of-line escapes."""
+    h, w = idx.shape
+    assert idx.dtype == np.uint8 and palette.dtype == np.uint8
+    used = palette.shape[0]
+    table = np.zeros((used, 4), np.uint8)
+    table[:, :3] = palette[:, ::-1]  # RGB -> BGRA (alpha 0)
+    if not rle:
+        row = (w + 3) // 4 * 4
+        body = np.zeros((h, row), np.uint8)
+        body[:, :w] = idx[::-1]  # bottom-up
+        pix, comp = body.tobytes(), 0
+    else:
+        out = bytearray()
+        for r in idx[::-1]:
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and r[x + run] == r[x] and run < 255:
+                    run += 1
+                if run >= 3 or r[x] == r[min(x + 1, w - 1)]:
+                    out += bytes([run, r[x]])
+                    x += run
+                else:
+                    lit = min(255, w - x)
+                    # literal runs must be >= 3 bytes; shorter tails
+                    # become unit runs
+                    if lit >= 3:
+                        out += bytes([0, lit]) + bytes(r[x : x + lit])
+                        if lit & 1:
+                            out.append(0)
+                        x += lit
+                    else:
+                        out += bytes([1, r[x]])
+                        x += 1
+            out += bytes([0, 0])  # end of line
+        out += bytes([0, 1])  # end of bitmap
+        pix, comp = bytes(out), 1
+    pix_off = 14 + 40 + used * 4
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + comp.to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+        + bytes(8) + used.to_bytes(4, "little") + bytes(4)
+    )
+    header = (
+        b"BM" + (pix_off + len(pix)).to_bytes(4, "little")
+        + bytes(4) + pix_off.to_bytes(4, "little")
+    )
+    return header + info + table.tobytes() + pix
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

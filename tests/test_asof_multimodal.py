@@ -568,3 +568,39 @@ def test_gif_decode_real_lzw_and_variants():
     assert got.shape == (11, 7, 4)
     assert np.array_equal(got[..., 3] == 0, small == 3)
     assert np.array_equal(got[..., :3], palette[small])
+
+
+def test_bmp_8bpp_paletted_and_rle8():
+    """8-bpp paletted BMP: uncompressed rows (word-padded, bottom-up,
+    BGRA table) and RLE8 streams (runs, word-aligned literals, EOL/EOB
+    escapes, delta jumps leaving zero-filled gaps) both recover the
+    palette-mapped RGB image."""
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import (
+        decode_bmp, encode_bmp8, sniff_media_type,
+    )
+
+    rng = np.random.default_rng(17)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    # mixed content: long runs + noisy literals, non-multiple-of-4 width
+    idx = np.concatenate(
+        [np.full((6, 5), 3, np.uint8), rng.integers(0, 16, (6, 6), dtype=np.uint8)],
+        axis=1,
+    )
+    for rle in (False, True):
+        payload = encode_bmp8(idx, palette, rle=rle)
+        assert sniff_media_type(payload) == "image/bmp"
+        got = decode_bmp(payload)
+        assert got.shape == (6, 11, 3), rle
+        assert np.array_equal(got, palette[idx]), f"rle={rle}"
+
+    # hand-crafted RLE8 with a delta escape: run 2x val 5, delta (+2,+1),
+    # run 3x val 7 on the next row; everything skipped stays index 0
+    data = bytes([2, 5, 0, 2, 2, 1, 3, 7, 0, 0, 0, 1])
+    from mintpy_spark.operators.multimodal import _bmp_unrle8
+
+    out = _bmp_unrle8(data, 8, 3)
+    assert out[0].tolist() == [5, 5, 0, 0, 0, 0, 0, 0]
+    assert out[1].tolist() == [0, 0, 0, 0, 7, 7, 7, 0]
+    assert out[2].tolist() == [0] * 8
