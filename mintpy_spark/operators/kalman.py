@@ -1,0 +1,85 @@
+"""Kalman local-level filtering (online exponential-family smoother).
+
+Reference analog: the temporal-filter family (`tsview`/`temporal_filter`
+moving averages, src/mintpy/utils/time_func.py smoothing uses) — the
+Kalman local-level model is the online counterpart: a random-walk level
+observed under noise, filtered causally in one forward pass. Unlike the
+window filters in operators/filters.py it needs no look-ahead and its
+gain adapts during warm-up, which is what a streaming tier-maintenance
+loop wants for live smoothing.
+
+Model (constant hyperparameters q = process variance, r = observation
+variance), initialized at the first observation with prior variance r:
+
+    pp = p + q
+    k  = pp / (pp + r)
+    m  = m + k * (y - m)
+    p  = (1 - k) * pp
+
+The recursion is evaluated with scalar IEEE doubles in EXACTLY this
+operation order — the DuckDB oracle (a recursive CTE) writes the same
+expressions term-for-term, so filtered levels match bit-for-bit and the
+driver's floor-quantized hash is stable.
+
+Scale: one shuffle (groupBy key -> applyInPandas); the per-key pass is
+O(n) with O(1) state, the same access pattern the production streaming
+variant carries in its state store.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kalman_level(
+    df: DataFrame,
+    value_col: str = "value",
+    key: str = "user_id",
+    ts: str = "ts",
+    q: float = 0.04,
+    r: float = 1.0,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key causal Kalman local-level filter. Returns one row per
+    observation: (key, rn, level) where rn is the 1-based position in
+    (ts, value, *order_cols) order — the value tie-break keeps duplicate
+    timestamps deterministic (ADVICE r3 ordering convention) — and level
+    the filtered mean after seeing observation rn. NULL observations are
+    dropped before ranking (they carry no update)."""
+    qq, rr = float(q), float(r)
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("t"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("double").alias("y"),
+    )
+    order = ["t", "y", *order_cols]
+    schema = f"k {dict(src.dtypes)['k']}, rn long, level double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        ys = pdf["y"].tolist()
+        m = ys[0]
+        p = rr
+        levels = [m]
+        for y in ys[1:]:
+            pp = p + qq
+            k = pp / (pp + rr)
+            m = m + k * (y - m)
+            p = (1.0 - k) * pp
+            levels.append(m)
+        return pd.DataFrame(
+            {
+                "k": pdf["k"].iloc[0],
+                "rn": range(1, len(ys) + 1),
+                "level": levels,
+            }
+        )
+
+    return (
+        src.groupBy("k")
+        .applyInPandas(run, schema)
+        .select(F.col("k").alias(key), "rn", "level")
+    )

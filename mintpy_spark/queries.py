@@ -454,6 +454,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4b  # noqa: F401  (dod codec size audit)
     import mintpy_spark.queries_r4c  # noqa: F401  (gorilla float size audit)
     import mintpy_spark.queries_r4d  # noqa: F401  (readability / Heaps curves)
+    import mintpy_spark.queries_r4e  # noqa: F401  (Kalman local-level filter)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -466,7 +467,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 178 entries: 2 red-in-latest-driver-check first, then 176 never
+# 179 entries: 2 red-in-latest-driver-check first, then 177 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -542,6 +543,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "index_search_topk",
     "interval_join_session_errors",
     "ivm_segment_revenue_delta",
+    "kalman_level_filter",
     "kmv_anotb_audience",
     "kmv_audience_intersection",
     "knn_label_accuracy",
