@@ -455,6 +455,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4c  # noqa: F401  (gorilla float size audit)
     import mintpy_spark.queries_r4d  # noqa: F401  (readability / Heaps curves)
     import mintpy_spark.queries_r4e  # noqa: F401  (Kalman local-level filter)
+    import mintpy_spark.queries_r4f  # noqa: F401  (CUBE grouping-sets revenue)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
