@@ -456,6 +456,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4d  # noqa: F401  (readability / Heaps curves)
     import mintpy_spark.queries_r4e  # noqa: F401  (Kalman local-level filter)
     import mintpy_spark.queries_r4f  # noqa: F401  (CUBE grouping-sets revenue)
+    import mintpy_spark.queries_r4g  # noqa: F401  (JL projection distortion)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -468,7 +469,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 179 entries: 2 red-in-latest-driver-check first, then 177 never
+# 180 entries: 2 red-in-latest-driver-check first, then 178 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -523,6 +524,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "drift_tvd_weekly",
     "embedding_centroid_shift",
     "embedding_dim_variance_topk",
+    "embedding_jl_distortion",
     "embedding_label_silhouette",
     "embedding_norm_census",
     "embedding_top_eigen",
