@@ -457,6 +457,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4e  # noqa: F401  (Kalman local-level filter)
     import mintpy_spark.queries_r4f  # noqa: F401  (CUBE grouping-sets revenue)
     import mintpy_spark.queries_r4g  # noqa: F401  (JL projection distortion)
+    import mintpy_spark.queries_r4h  # noqa: F401  (Holt-Winters weekly)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -469,7 +470,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 180 entries: 2 red-in-latest-driver-check first, then 178 never
+# 181 entries: 2 red-in-latest-driver-check first, then 179 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -540,6 +541,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "growth_accounting_daily",
     "hll_merge_30d_distinct",
+    "holt_winters_weekly",
     "hurst_rs_daily",
     "index_bm25_topk",
     "index_postings_stats",
