@@ -458,6 +458,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4f  # noqa: F401  (CUBE grouping-sets revenue)
     import mintpy_spark.queries_r4g  # noqa: F401  (JL projection distortion)
     import mintpy_spark.queries_r4h  # noqa: F401  (Holt-Winters weekly)
+    import mintpy_spark.queries_r4i  # noqa: F401  (token-bucket admission)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -470,7 +471,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 181 entries: 2 red-in-latest-driver-check first, then 179 never
+# 182 entries: 2 red-in-latest-driver-check first, then 180 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -633,6 +634,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tier_snapshot_diff",
     "time_to_convert_quantiles",
     "time_weighted_median",
+    "token_bucket_admission",
     "token_rank_shift_weekly",
     "trend_break_detect",
     "truncation_loss_audit",
