@@ -459,6 +459,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4g  # noqa: F401  (JL projection distortion)
     import mintpy_spark.queries_r4h  # noqa: F401  (Holt-Winters weekly)
     import mintpy_spark.queries_r4i  # noqa: F401  (token-bucket admission)
+    import mintpy_spark.queries_r4j  # noqa: F401  (KM survival / Mann-Whitney)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -471,7 +472,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 182 entries: 2 red-in-latest-driver-check first, then 180 never
+# 184 entries: 2 red-in-latest-driver-check first, then 182 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -559,6 +560,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ljung_box_daily",
     "ltv_decay_user",
     "mann_kendall_daily",
+    "mannwhitney_wkday_wkend",
     "olap_custdist",
     "olap_disjunctive_pushdown",
     "olap_excess_supply_suppliers",
@@ -619,6 +621,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "srm_chi2_daily",
     "state_dwell_census",
     "stl_decompose_hourly",
+    "survival_km_risk_table",
     "temporal_filter_ewma",
     "temporal_filter_runmedian",
     "text_pii_scrub_stats",
