@@ -460,6 +460,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4h  # noqa: F401  (Holt-Winters weekly)
     import mintpy_spark.queries_r4i  # noqa: F401  (token-bucket admission)
     import mintpy_spark.queries_r4j  # noqa: F401  (KM survival / Mann-Whitney)
+    import mintpy_spark.queries_r4k  # noqa: F401  (checkpoint lineage audit)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -472,7 +473,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 184 entries: 2 red-in-latest-driver-check first, then 182 never
+# 185 entries: 2 red-in-latest-driver-check first, then 183 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -493,6 +494,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_pair_census",
     "burst_ratio_daily",
     "cadence_interarrival_cv",
+    "checkpoint_lineage_audit",
     "cms_30d_merge_topfreq",
     "codec_dod_size_audit",
     "codec_gorilla_size_audit",
