@@ -461,6 +461,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4i  # noqa: F401  (token-bucket admission)
     import mintpy_spark.queries_r4j  # noqa: F401  (KM survival / Mann-Whitney)
     import mintpy_spark.queries_r4k  # noqa: F401  (checkpoint lineage audit)
+    import mintpy_spark.queries_r4l  # noqa: F401  (streaming dedup index check)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -473,7 +474,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 185 entries: 2 red-in-latest-driver-check first, then 183 never
+# 186 entries: 2 red-in-latest-driver-check first, then 184 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -515,6 +516,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate_benchmark",
     "dedup_cdc_chunks",
     "dedup_containment",
+    "dedup_index_realtime_check",
     "dedup_keeper_best_quality",
     "dedup_lsh_recall_eval",
     "dedup_ssjoin_exact",
