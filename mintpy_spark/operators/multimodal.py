@@ -536,6 +536,11 @@ def _png_bytes_to_samples(
     channel array. Sub-byte (paletted): (h, w) index array, unpacking
     MSB-first within each byte and discarding row-padding bits."""
     h, stride = b.shape
+    if depth == 16:
+        # big-endian 16-bit samples narrow to their high byte (the
+        # standard lossy 16->8 downconversion, like the WAV path)
+        hi = b[:, : w * ch * 2].reshape(h, w * ch, 2)[:, :, 0]
+        return hi[:, :w] if ch == 1 else hi.reshape(h, w, ch)
     if depth == 8:
         if ch == 1:
             return b[:, :w]
@@ -559,12 +564,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> RGB(A) uint8 array (h, w, 3|4). Real decode, pure
     stdlib + NumPy: chunk walk, zlib-inflated IDAT, full scanline
     un-filtering (all five filter types 0-4), and Adam7 de-interlacing.
-    Supported profile: 8-bit truecolor/truecolor-alpha, grayscale
-    (color type 0, depths 1/2/4/8, optional 2-byte tRNS level),
-    gray+alpha (color type 4, depth 8) AND paletted (color type 3, PLTE
-    chunk, bit depths 1/2/4/8, optional tRNS alpha), interlaced or not —
-    together the overwhelmingly common web profiles; 16-bit is where PIL
-    would slot in.
+    Supported profile: every legal (color type, bit depth) combination —
+    truecolor/truecolor-alpha at 8/16 bits, grayscale at 1/2/4/8/16,
+    gray+alpha at 8/16, paletted at 1/2/4/8 (PLTE + optional tRNS) —
+    interlaced or not; 16-bit samples narrow to their high byte, the
+    standard lossy downconversion.
     """
     import zlib
 
@@ -582,14 +586,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, ctype, _comp, _filt, interlace = body[8:13]
-            ok = (ctype in (2, 6) and depth == 8) or (
-                ctype in (0, 3) and depth in (1, 2, 4, 8)
-            ) or (ctype == 4 and depth == 8)
+            ok = (ctype in (2, 6) and depth in (8, 16)) or (
+                ctype == 0 and depth in (1, 2, 4, 8, 16)
+            ) or (ctype == 3 and depth in (1, 2, 4, 8)) or (
+                ctype == 4 and depth in (8, 16)
+            )
             if not ok:
                 raise NotImplementedError(
-                    f"only 8-bit truecolor(+alpha), 8-bit gray(+alpha) or "
-                    f"1/2/4/8-bit gray/paletted PNG decoded here "
-                    f"(depth={depth}, colortype={ctype}); 16-bit needs PIL"
+                    f"unsupported PNG profile (depth={depth}, "
+                    f"colortype={ctype})"
                 )
             ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
         elif tag == b"PLTE":
@@ -630,15 +635,20 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if ctype == 0:
         # grayscale: scale raw samples to 8-bit (255/(2^d-1) is integral
-        # for d in 1/2/4/8), expand to RGB; tRNS holds a 2-byte gray
-        # level that maps to alpha 0
+        # for d in 1/2/4/8; 16-bit already narrowed to its high byte),
+        # expand to RGB; tRNS holds a 2-byte gray level that maps to
+        # alpha 0 (compared in the narrowed domain for depth 16)
+        d_eff = min(depth, 8)
         g8 = (
-            samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
+            samples.astype(np.uint16) * (255 // ((1 << d_eff) - 1))
         ).astype(np.uint8)
         rgb = np.repeat(g8[..., None], 3, axis=2)
         if trns is None or trns.shape[0] < 2:
             return rgb
-        level = (int(trns[0]) << 8) | int(trns[1])
+        if depth == 16:
+            level = int(trns[0])
+        else:
+            level = (int(trns[0]) << 8) | int(trns[1])
         alpha = np.where(samples.astype(np.int32) == level, 0, 255)
         return np.concatenate(
             [rgb, alpha.astype(np.uint8)[..., None]], axis=2
@@ -855,6 +865,71 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image descriptor")
 
 
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """JPEG bytes -> (width, height) from the SOF marker — a real header
+    parse (marker walk honoring segment lengths), no pixel decode (the
+    DCT/Huffman stages are where PIL would slot in)."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            return w, h
+        if marker == 0xDA:  # start of scan: no SOF seen before pixels
+            break
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOF marker")
+
+
+def mp4_duration_ms(payload: bytes) -> int:
+    """MP4 bytes -> duration in ms from moov/mvhd — a real ISO-BMFF box
+    walk (32/64-bit sizes, version 0/1 mvhd layouts), no sample decode."""
+
+    def walk(buf: bytes, start: int, end: int, path: tuple[str, ...]):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            box = buf[pos + 4 : pos + 8].decode("latin1")
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of file
+                size = end - pos
+            if box == path[0]:
+                if len(path) == 1:
+                    return pos + hdr, pos + size
+                return walk(buf, pos + hdr, pos + size, path[1:])
+            pos += max(size, 8)
+        return None
+
+    span = walk(payload, 0, len(payload), ("moov", "mvhd"))
+    if span is None:
+        raise ValueError("MP4 missing moov/mvhd box")
+    s, _ = span
+    version = payload[s]
+    if version == 1:
+        timescale = int.from_bytes(payload[s + 20 : s + 24], "big")
+        duration = int.from_bytes(payload[s + 24 : s + 32], "big")
+    else:
+        timescale = int.from_bytes(payload[s + 12 : s + 16], "big")
+        duration = int.from_bytes(payload[s + 16 : s + 20], "big")
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale 0")
+    return duration * 1000 // timescale
+
+
 def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
                                         int | None, int | None, int | None]:
     """Real metadata decode for the supported formats. For WAV, n_frames
@@ -870,6 +945,11 @@ def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
     if mtype == "image/gif":
         img = decode_gif(payload)
         return mtype, img.shape[1], img.shape[0], 1, None, None
+    if mtype == "image/jpeg":
+        w, h = jpeg_dimensions(payload)
+        return mtype, w, h, 1, None, None
+    if mtype == "video/mp4":
+        return mtype, None, None, None, None, mp4_duration_ms(payload)
     if mtype == "audio/wav":
         samples, rate = decode_wav(payload)
         frames = samples.shape[0]

@@ -257,8 +257,8 @@ def test_png_roundtrip_and_all_filters():
                + chunk(b"IEND", b""))
     assert np.array_equal(decode_png(crafted), img)
 
-    # unsupported profile (16-bit truecolor) fails loudly at the PIL seam
-    bad_ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    # unsupported profile (illegal 4-bit truecolor) fails loudly
+    bad_ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([4, 2, 0, 0, 0])
     bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
@@ -604,3 +604,90 @@ def test_bmp_8bpp_paletted_and_rle8():
     assert out[0].tolist() == [5, 5, 0, 0, 0, 0, 0, 0]
     assert out[1].tolist() == [0, 0, 0, 0, 7, 7, 7, 0]
     assert out[2].tolist() == [0] * 8
+
+
+def test_png_16bit_profiles_narrow_to_high_byte():
+    """16-bit PNG (truecolor, grayscale, gray+alpha): big-endian samples
+    narrow to their high byte; gray tRNS compares in the narrowed
+    domain."""
+    import zlib
+
+    import numpy as np
+
+    from mintpy_spark.operators.multimodal import decode_png
+
+    def png(ihdr_tail, raw, extra=b""):
+        def chunk(tag, body):
+            return (len(body).to_bytes(4, "big") + tag + body
+                    + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_tail) + extra
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(23)
+    # truecolor 16-bit, 2x3
+    px = rng.integers(0, 65536, (2, 3, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + px[y].astype(">u2").tobytes() for y in range(2)
+    )
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    got = decode_png(png(ihdr, raw))
+    assert np.array_equal(got, (px >> 8).astype(np.uint8))
+
+    # grayscale 16-bit with tRNS: level 0x1234 -> alpha 0 where high
+    # byte matches 0x12
+    g = np.array([[0x1234, 0x12FF, 0xABCD]], dtype=np.uint16)
+    raw = b"\x00" + g.astype(">u2").tobytes()
+    ihdr = (3).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    def chunk(tag, body):
+        return (len(body).to_bytes(4, "big") + tag + body
+                + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+    got = decode_png(png(ihdr, raw, extra=chunk(b"tRNS", bytes([0x12, 0x34]))))
+    assert got.shape == (1, 3, 4)
+    assert got[0, :, 0].tolist() == [0x12, 0x12, 0xAB]
+    assert got[0, :, 3].tolist() == [0, 0, 255]
+
+    # gray+alpha 16-bit: interleaved (g, a) pairs narrow independently
+    ga = np.array([[[0x8000, 0xFF00], [0x0100, 0x0000]]], dtype=np.uint16)
+    raw = b"\x00" + ga.astype(">u2").tobytes()
+    ihdr = (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([16, 4, 0, 0, 0])
+    got = decode_png(png(ihdr, raw))
+    assert got[0, :, 0].tolist() == [0x80, 0x01]
+    assert got[0, :, 3].tolist() == [0xFF, 0x00]
+
+
+def test_jpeg_dimensions_and_mp4_duration():
+    """Header-only metadata decodes: JPEG SOF dims through APP segments
+    and restart markers; MP4 mvhd v0/v1 through nested boxes."""
+    import pytest
+
+    from mintpy_spark.operators.multimodal import (
+        decode_media, jpeg_dimensions, mp4_duration_ms,
+    )
+
+    app0 = b"\xff\xe0" + (15).to_bytes(2, "big") + b"JFIF\x00" + bytes(8)
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + bytes([3]) + bytes(9))
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert jpeg_dimensions(jpeg) == (640, 480)
+    with pytest.raises(ValueError):
+        jpeg_dimensions(b"\xff\xd8\xff\xe0" + (4).to_bytes(2, "big") + bytes(2))
+
+    def box(tag, body):
+        return (8 + len(body)).to_bytes(4, "big") + tag + body
+
+    # v0 mvhd: timescale 1000, duration 5500 -> 5500 ms
+    mvhd0 = bytes(1) + bytes(3) + bytes(8) + (1000).to_bytes(4, "big") \
+        + (5500).to_bytes(4, "big") + bytes(80)
+    mp4 = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", box(b"mvhd", mvhd0))
+    assert mp4_duration_ms(mp4) == 5500
+    # v1 mvhd: 64-bit duration, timescale 90000, duration 90000*3
+    mvhd1 = bytes([1]) + bytes(3) + bytes(16) + (90000).to_bytes(4, "big") \
+        + (270000).to_bytes(8, "big") + bytes(80)
+    mp4b = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", box(b"mvhd", mvhd1))
+    assert mp4_duration_ms(mp4b) == 3000
+
+    # the real decode_media path carries both through mapInPandas
+    from mintpy_spark.operators.multimodal import _real_meta
+    assert _real_meta(jpeg)[:3] == ("image/jpeg", 640, 480)
+    assert _real_meta(mp4)[5] == 5500
