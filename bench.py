@@ -74,6 +74,11 @@ HEADLINE = [
     # round 3 batch-ff addition: the training-export packing layout
     # (window cumsum + bounded explode — the pipeline's final stage)
     "pack_concat_chunks",
+    # round 4 additions: the sequential-state Arrow seam (per-key Kalman
+    # forward pass) and the Expand-based grouping-sets aggregate; the 19
+    # entries above stay stable for round-over-round comparison
+    "kalman_level_filter",
+    "olap_cube_revenue",
 ]
 
 

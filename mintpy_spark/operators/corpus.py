@@ -101,10 +101,13 @@ def heaps_curve(
             F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
         ).alias("w"),
     )
-    per_doc = toks.groupBy(id_col).agg(F.count("*").alias("ntok"))
-    # docs with zero tokens still occupy a rank slot
-    all_docs = df.select(id_col).join(per_doc, id_col, "left").fillna(
-        {"ntok": 0}
+    # per-doc token counts are row-local (array size) — no explode, no
+    # join; zero-token docs keep their rank slot for free
+    all_docs = df.select(
+        F.col(id_col),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
+        ).cast("long").alias("ntok"),
     )
     n = all_docs.count()
     b = int(buckets)
