@@ -58,17 +58,37 @@ def kalman_level(
     order = ["t", "y", *order_cols]
     schema = f"k {dict(src.dtypes)['k']}, rn long, level double"
 
+    # the variance/gain recursion is data-independent, so the gain
+    # sequence is shared by every key of the same length — cache it per
+    # executor (values are IDENTICAL to inline computation: same ops,
+    # same order, just computed once)
+    gain_cache: dict[int, list[float]] = {}
+
+    def gains(n: int) -> list[float]:
+        ks = gain_cache.get(n)
+        if ks is None:
+            base = max(gain_cache, default=0)
+            if base and base < n:
+                ks = gain_cache[base][:]
+                p = gain_cache[-base]  # trailing variance of the prefix
+            else:
+                ks, p = [], rr
+            for _ in range(len(ks), n - 1):
+                pp = p + qq
+                k = pp / (pp + rr)
+                p = (1.0 - k) * pp
+                ks.append(k)
+            gain_cache[n] = ks
+            gain_cache[-n] = p
+        return ks
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
         ys = pdf["y"].tolist()
         m = ys[0]
-        p = rr
         levels = [m]
-        for y in ys[1:]:
-            pp = p + qq
-            k = pp / (pp + rr)
+        for y, k in zip(ys[1:], gains(len(ys))):
             m = m + k * (y - m)
-            p = (1.0 - k) * pp
             levels.append(m)
         return pd.DataFrame(
             {
