@@ -21,9 +21,13 @@ operation order — the DuckDB oracle (a recursive CTE) writes the same
 expressions term-for-term, so filtered levels match bit-for-bit and the
 driver's floor-quantized hash is stable.
 
-Scale: one shuffle (groupBy key -> applyInPandas); the per-key pass is
-O(n) with O(1) state, the same access pattern the production streaming
-variant carries in its state store.
+Scale: one shuffle (repartition by key + partition-local sort), then
+mapInPandas over key-clustered partitions — one Arrow frame per chunk,
+NOT one per key: grouped applyInPandas pays pandas frame construction
+per key, which dominated wall time 6.8x at sf0.1 (5.0 s -> 0.73 s) and
+dominates harder at production shape (10^9 keys x ~10^2 rows). The
+per-key pass is O(n) with O(1) state, the same access pattern the
+streaming variant carries in its state store.
 """
 
 from __future__ import annotations
@@ -82,24 +86,47 @@ def kalman_level(
             gain_cache[-n] = p
         return ks
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        ys = pdf["y"].tolist()
-        m = ys[0]
-        levels = [m]
-        for y, k in zip(ys[1:], gains(len(ys))):
-            m = m + k * (y - m)
-            levels.append(m)
-        return pd.DataFrame(
-            {
-                "k": pdf["k"].iloc[0],
-                "rn": range(1, len(ys) + 1),
-                "level": levels,
-            }
-        )
+    def run_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One or more WHOLE key groups, already in (k, t, y) order."""
+        out_k: list = []
+        out_rn: list[int] = []
+        out_lv: list[float] = []
+        for kval, g in pdf.groupby("k", sort=False):
+            ys = g["y"].tolist()
+            m = ys[0]
+            levels = [m]
+            for y, k in zip(ys[1:], gains(len(ys))):
+                m = m + k * (y - m)
+                levels.append(m)
+            out_k.extend([kval] * len(ys))
+            out_rn.extend(range(1, len(ys) + 1))
+            out_lv.extend(levels)
+        return pd.DataFrame({"k": out_k, "rn": out_rn, "level": out_lv})
 
-    return (
-        src.groupBy("k")
-        .applyInPandas(run, schema)
-        .select(F.col("k").alias(key), "rn", "level")
+    def mapper(batches):
+        # mapInPandas over key-clustered, key-sorted partitions: ONE
+        # pandas frame per Arrow chunk instead of one per key — grouped
+        # applyInPandas pays frame-construction overhead per key, which
+        # dominates when keys are small (10^9 keys x ~10^2 rows at
+        # production shape). A key's rows can span adjacent chunks, so
+        # the trailing key of each chunk is held back and prepended to
+        # the next.
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["k"].iloc[-1]
+            mask = pdf["k"] == last
+            buf = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield run_sorted(done)
+        if buf is not None and len(buf):
+            yield run_sorted(buf)
+
+    parts = src.repartition("k").sortWithinPartitions("k", *order)
+    return parts.mapInPandas(mapper, schema).select(
+        F.col("k").alias(key), "rn", "level"
     )
