@@ -60,34 +60,43 @@ def holt_winters_additive(
         " seasonal double"
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "y"], kind="mergesort")
-        ys = pdf["y"].tolist()
-        season = [0.0] * p
-        lev, tr = ys[0], 0.0
-        out_l, out_b, out_s = [lev], [tr], [0.0]
-        for i, y in enumerate(ys[1:], start=1):
-            s_old = season[i % p]
-            l_new = a * (y - s_old) + (1.0 - a) * (lev + tr)
-            tr = b_ * (l_new - lev) + (1.0 - b_) * tr
-            s_new = g * (y - l_new) + (1.0 - g) * s_old
-            season[i % p] = s_new
-            lev = l_new
+    def run_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_k: list = []
+        out_rn: list[int] = []
+        out_l: list[float] = []
+        out_b: list[float] = []
+        out_s: list[float] = []
+        for kval, grp in pdf.groupby("k", sort=False):
+            ys = grp["y"].tolist()
+            season = [0.0] * p
+            lev, tr = ys[0], 0.0
+            out_k.extend([kval] * len(ys))
+            out_rn.extend(range(1, len(ys) + 1))
             out_l.append(lev)
             out_b.append(tr)
-            out_s.append(s_new)
+            out_s.append(0.0)
+            for i, y in enumerate(ys[1:], start=1):
+                s_old = season[i % p]
+                l_new = a * (y - s_old) + (1.0 - a) * (lev + tr)
+                tr = b_ * (l_new - lev) + (1.0 - b_) * tr
+                s_new = g * (y - l_new) + (1.0 - g) * s_old
+                season[i % p] = s_new
+                lev = l_new
+                out_l.append(lev)
+                out_b.append(tr)
+                out_s.append(s_new)
         return pd.DataFrame(
             {
-                "k": pdf["k"].iloc[0],
-                "rn": range(1, len(ys) + 1),
+                "k": out_k,
+                "rn": out_rn,
                 "level": out_l,
                 "trend": out_b,
                 "seasonal": out_s,
             }
         )
 
-    return (
-        src.groupBy("k")
-        .applyInPandas(run, schema)
-        .select(F.col("k").alias(key), "rn", "level", "trend", "seasonal")
-    )
+    from mintpy_spark.operators.seqstate import map_sorted_groups
+
+    return map_sorted_groups(
+        src, "k", ("t", "y"), run_sorted, schema
+    ).select(F.col("k").alias(key), "rn", "level", "trend", "seasonal")

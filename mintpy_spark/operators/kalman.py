@@ -103,30 +103,8 @@ def kalman_level(
             out_lv.extend(levels)
         return pd.DataFrame({"k": out_k, "rn": out_rn, "level": out_lv})
 
-    def mapper(batches):
-        # mapInPandas over key-clustered, key-sorted partitions: ONE
-        # pandas frame per Arrow chunk instead of one per key — grouped
-        # applyInPandas pays frame-construction overhead per key, which
-        # dominates when keys are small (10^9 keys x ~10^2 rows at
-        # production shape). A key's rows can span adjacent chunks, so
-        # the trailing key of each chunk is held back and prepended to
-        # the next.
-        buf = None
-        for pdf in batches:
-            if buf is not None and len(buf):
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last = pdf["k"].iloc[-1]
-            mask = pdf["k"] == last
-            buf = pdf[mask]
-            done = pdf[~mask]
-            if len(done):
-                yield run_sorted(done)
-        if buf is not None and len(buf):
-            yield run_sorted(buf)
+    from mintpy_spark.operators.seqstate import map_sorted_groups
 
-    parts = src.repartition("k").sortWithinPartitions("k", *order)
-    return parts.mapInPandas(mapper, schema).select(
+    return map_sorted_groups(src, "k", tuple(order), run_sorted, schema).select(
         F.col("k").alias(key), "rn", "level"
     )

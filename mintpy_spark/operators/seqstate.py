@@ -1,0 +1,57 @@
+"""Shared seam for per-key sequential-state passes (Kalman,
+Holt-Winters, token bucket, and any future forward recursion).
+
+Grouped ``applyInPandas`` constructs one pandas frame PER KEY, which
+dominates wall time when keys are small (measured 6.8x on the Kalman
+filter at sf0.1: 5.0 s -> 0.73 s; at production shape 10^9 keys x ~10^2
+rows it is the difference between a usable and an unusable plan). This
+helper keeps the identical per-key semantics but runs ``mapInPandas``
+over key-clustered, key-sorted partitions — one Arrow frame per chunk —
+with a carry buffer for the key that spans adjacent chunks.
+
+Contract: ``fn`` receives a frame holding one or more WHOLE key groups,
+rows already in (key, *order) order, and must treat groups
+independently (iterate ``pdf.groupby(key, sort=False)``). Values are
+bit-identical to the applyInPandas form because the per-key row
+sequence — and therefore every float operation — is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def map_sorted_groups(
+    src: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """One shuffle (repartition on ``key_col`` + partition-local sort on
+    (key, *order)), then mapInPandas with whole-group delivery to
+    ``fn``."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf[key_col].iloc[-1]
+            mask = pdf[key_col] == last
+            buf = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield fn(done)
+        if buf is not None and len(buf):
+            yield fn(buf)
+
+    parts = src.repartition(key_col).sortWithinPartitions(
+        key_col, *order_cols
+    )
+    return parts.mapInPandas(mapper, schema)

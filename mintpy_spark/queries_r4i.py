@@ -89,29 +89,34 @@ def token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         " final_tokens_mt long"
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
-        ts = pdf["t"].tolist()
-        tokens = _CAP - _COST  # first event admits from a full bucket
-        admitted = 1
-        last = ts[0]
-        for t in ts[1:]:
-            tokens = min(
-                _CAP, tokens + (t - last) * _RATE_MT_PER_HOUR // _US_PER_HOUR
-            )
-            if tokens >= _COST:
-                tokens -= _COST
-                admitted += 1
-            last = t
-        n = len(ts)
+    def run_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, grp in pdf.groupby("user_id", sort=False):
+            ts = grp["t"].tolist()
+            tokens = _CAP - _COST  # first event admits from a full bucket
+            admitted = 1
+            last = ts[0]
+            for t in ts[1:]:
+                tokens = min(
+                    _CAP,
+                    tokens + (t - last) * _RATE_MT_PER_HOUR // _US_PER_HOUR,
+                )
+                if tokens >= _COST:
+                    tokens -= _COST
+                    admitted += 1
+                last = t
+            n = len(ts)
+            rows.append((uid, n, admitted, n - admitted, tokens))
         return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [n],
-                "n_admitted": [admitted],
-                "n_rejected": [n - admitted],
-                "final_tokens_mt": [tokens],
-            }
+            rows,
+            columns=[
+                "user_id", "n_events", "n_admitted", "n_rejected",
+                "final_tokens_mt",
+            ],
         )
 
-    return ev.groupBy("user_id").applyInPandas(run, schema)
+    from mintpy_spark.operators.seqstate import map_sorted_groups
+
+    return map_sorted_groups(
+        ev, "user_id", ("t", "event_id"), run_sorted, schema
+    )
