@@ -84,30 +84,32 @@ def codec_dod_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def audit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "v"], kind="mergesort")
-        t = pdf["t"].to_numpy(np.int64)
-        v = pdf["v"].to_numpy(np.float64)
-        blob = encode_timestamps(t)
-        ts_exact = bool(np.array_equal(decode_timestamps(blob), t))
-        fblob = encode_floats(v)
-        f_exact = bool(
-            np.array_equal(
-                decode_floats(fblob).view(np.uint64), v.view(np.uint64)
+        rows = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            t = g["t"].to_numpy(np.int64)
+            v = g["v"].to_numpy(np.float64)
+            blob = encode_timestamps(t)
+            ts_exact = bool(np.array_equal(decode_timestamps(blob), t))
+            fblob = encode_floats(v)
+            f_exact = bool(
+                np.array_equal(
+                    decode_floats(fblob).view(np.uint64), v.view(np.uint64)
+                )
             )
-        )
-        n, b = len(t), len(blob)
+            n, b = len(t), len(blob)
+            rows.append(
+                (uid, n, b, (20000 * b + 8 * n) // (16 * n), ts_exact,
+                 f_exact)
+            )
         return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n": [n],
-                "ts_bytes": [b],
-                "ts_ratio_bp": [(20000 * b + 8 * n) // (16 * n)],
-                "ts_exact": [ts_exact],
-                "f_exact": [f_exact],
-            }
+            rows,
+            columns=["user_id", "n", "ts_bytes", "ts_ratio_bp",
+                     "ts_exact", "f_exact"],
         )
 
-    return ev.groupBy("user_id").applyInPandas(audit, schema)
+    from mintpy_spark.operators.seqstate import map_sorted_groups
+
+    return map_sorted_groups(ev, "user_id", ("t", "v"), audit, schema)
 
 
 @_q(

@@ -119,23 +119,22 @@ def codec_gorilla_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def audit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "v"], kind="mergesort")
-        v = np.floor(pdf["v"].to_numpy(np.float64) * 100.0)
-        blob = encode_floats(v)
-        f_exact = bool(
-            np.array_equal(
-                decode_floats(blob).view(np.uint64), v.view(np.uint64)
+        rows = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            v = np.floor(g["v"].to_numpy(np.float64) * 100.0)
+            blob = encode_floats(v)
+            f_exact = bool(
+                np.array_equal(
+                    decode_floats(blob).view(np.uint64), v.view(np.uint64)
+                )
             )
-        )
-        n, b = len(v), len(blob)
+            n, b = len(v), len(blob)
+            rows.append((uid, n, b, (10000 * b) // (8 * n), f_exact))
         return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n": [n],
-                "f_bytes": [b],
-                "f_ratio_bp": [(10000 * b) // (8 * n)],
-                "f_exact": [f_exact],
-            }
+            rows,
+            columns=["user_id", "n", "f_bytes", "f_ratio_bp", "f_exact"],
         )
 
-    return ev.groupBy("user_id").applyInPandas(audit, schema)
+    from mintpy_spark.operators.seqstate import map_sorted_groups
+
+    return map_sorted_groups(ev, "user_id", ("t", "v"), audit, schema)
