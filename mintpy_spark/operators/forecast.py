@@ -111,15 +111,16 @@ def holt_linear_mase_daily(
     Smoothing constants are DYADIC rationals written identically in the
     engine and the oracle, and every recursion step is the same IEEE
     double expression tree, so the state is bit-identical between this
-    applyInPandas fold (plain Python floats) and a DuckDB recursive CTE —
+    per-key fold (plain Python floats) and a DuckDB recursive CTE —
     an iterative algorithm that still hash-matches a SQL oracle. Forecast
     errors are micro-quantized per horizon step BEFORE summation (integer
     sums, order-free); the MASE denominator (in-sample naive-1 error) is
     a pure integer sum.
 
-    Scale shape: the daily agg shuffles once on (key, day); the fold is
-    applyInPandas over per-key groups — O(days) state, millions of keys
-    parallelize across executors (same shape as operators/timefunc.py).
+    Scale shape: the daily agg shuffles once on (key, day); the fold
+    runs on the shared sequential-state seam (operators/seqstate.py:
+    one Arrow frame per key-sorted partition chunk, not one per key) —
+    O(days) state, millions of keys parallelize across executors.
     Keys with fewer than horizon + 2 observed days are dropped (the
     recursion needs 2 train points).
     """
@@ -135,42 +136,50 @@ def holt_linear_mase_daily(
 
     h_n = int(horizon)
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_day").reset_index(drop=True)
-        y = [int(v) for v in pdf["y"]]
-        n = len(y)
-        n_train = n - h_n
-        if n_train < 2:
-            return pd.DataFrame(
-                columns=["key", "n_train", "n_test", "l_end_micro",
-                         "b_end_micro", "denom", "sum_abs_err_micro",
-                         "mase_micro"])
-        l = float(y[1])
-        b = float(y[1] - y[0])
-        for t in range(2, n_train):
-            l_new = 0.5 * y[t] + 0.5 * (l + b)
-            b_new = 0.25 * (l_new - l) + 0.75 * b
-            l, b = l_new, b_new
-        denom = sum(abs(y[t] - y[t - 1]) for t in range(1, n_train))
-        s_err = 0
-        for h in range(1, h_n + 1):
-            f = l + float(h) * b
-            s_err += int(math.floor(abs(float(y[n_train + h - 1]) - f) * 1e6 + 0.5))
-        if denom > 0:
-            mase = int(math.floor(
-                (float(s_err) * float(n_train - 1))
-                / (float(h_n) * float(denom) * 1e6) * 1e6 + 0.5))
-        else:
-            mase = None
-        return pd.DataFrame([{
-            "key": pdf["key"].iloc[0],
-            "n_train": n_train,
-            "n_test": h_n,
-            "l_end_micro": int(math.floor(l * 1e6 + 0.5)),
-            "b_end_micro": int(math.floor(b * 1e6 + 0.5)),
-            "denom": denom,
-            "sum_abs_err_micro": s_err,
-            "mase_micro": mase,
-        }])
+    cols = ["key", "n_train", "n_test", "l_end_micro", "b_end_micro",
+            "denom", "sum_abs_err_micro", "mase_micro"]
 
-    return daily.groupBy("key").applyInPandas(fold, HOLT_SCHEMA)
+    def fold_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kval, g in pdf.groupby("key", sort=False):
+            y = [int(v) for v in g["y"]]
+            n = len(y)
+            n_train = n - h_n
+            if n_train < 2:
+                continue
+            l = float(y[1])
+            b = float(y[1] - y[0])
+            for t in range(2, n_train):
+                l_new = 0.5 * y[t] + 0.5 * (l + b)
+                b_new = 0.25 * (l_new - l) + 0.75 * b
+                l, b = l_new, b_new
+            denom = sum(abs(y[t] - y[t - 1]) for t in range(1, n_train))
+            s_err = 0
+            for h in range(1, h_n + 1):
+                f = l + float(h) * b
+                s_err += int(
+                    math.floor(abs(float(y[n_train + h - 1]) - f) * 1e6 + 0.5)
+                )
+            if denom > 0:
+                mase = int(math.floor(
+                    (float(s_err) * float(n_train - 1))
+                    / (float(h_n) * float(denom) * 1e6) * 1e6 + 0.5))
+            else:
+                mase = None
+            rows.append({
+                "key": kval,
+                "n_train": n_train,
+                "n_test": h_n,
+                "l_end_micro": int(math.floor(l * 1e6 + 0.5)),
+                "b_end_micro": int(math.floor(b * 1e6 + 0.5)),
+                "denom": denom,
+                "sum_abs_err_micro": s_err,
+                "mase_micro": mase,
+            })
+        return pd.DataFrame(rows, columns=cols)
+
+    from mintpy_spark.operators.seqstate import map_sorted_groups
+
+    return map_sorted_groups(
+        daily, "key", ("bucket_day",), fold_sorted, HOLT_SCHEMA
+    )
