@@ -156,3 +156,16 @@ def test_entry_runs(spark):
     assert {"user_id", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vmean"} <= set(
         df.columns
     )
+
+
+def test_frozen_manifest_has_no_duplicate_lines():
+    """The registry test compares as a SET, so a duplicated manifest
+    line silently inflates every documented count (bit round 4:
+    olap_cube_revenue was listed twice and three docs said 300 for a
+    299-query registry)."""
+    import os
+
+    manifest = os.path.join(os.path.dirname(__file__), "registry_frozen.txt")
+    lines = [l.strip() for l in open(manifest) if l.strip()]
+    dupes = sorted({l for l in lines if lines.count(l) > 1})
+    assert len(lines) == len(set(lines)), f"duplicate manifest lines: {dupes}"
