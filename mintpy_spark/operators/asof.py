@@ -221,3 +221,76 @@ def asof_interpolate(
         key, ts, *order_cols,
         v_interp.alias("v_interp"), method.alias("method"),
     )
+
+
+def asof_nearest(
+    probes: DataFrame,
+    obs: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nearest-observation as-of alignment: for every probe row
+    (key, ts), the observation with the smallest |Δt| — backward wins
+    ties (the kdb ``aj`` nearest / pandas ``merge_asof(direction=
+    'nearest')`` analog). Completes the as-of family next to backward
+    (asof_join), forward, tolerance, and interpolated alignment.
+
+    Same union-sort-window strategy — ONE shuffle on ``key``, both
+    candidates from one ordered pass, no range join. Distances are
+    exact integer microseconds, so the tie rule and the choice are
+    engine-portable with no float anywhere.
+
+    Output: probe rows + ``v_nearest`` + ``asof_ts_us`` (chosen
+    observation's microsecond timestamp) + ``dist_us`` + ``side``
+    ('prev'|'next'|'none')."""
+    mic = F.unix_micros(F.col(ts).cast("timestamp"))
+    p = probes.select(
+        key, F.col(ts).alias(ts), *order_cols,
+        F.lit(1).alias("_isp"), F.lit(None).cast("double").alias("_v"),
+    )
+    o = obs.select(
+        key, F.col(ts).alias(ts), *order_cols,
+        F.lit(0).alias("_isp"), F.col(value_col).cast("double").alias("_v"),
+    )
+    u = p.unionByName(o).withColumn("_us", mic)
+    order = [F.col(ts), F.col("_isp"), *[F.col(c) for c in order_cols]]
+    wprev = (
+        Window.partitionBy(key).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(key).orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_struct = F.when(
+        F.col("_isp") == 0,
+        F.struct(F.col("_us").alias("t"), F.col("_v").alias("v")),
+    )
+    staged = (
+        u.withColumn("_prev", F.last(obs_struct, ignorenulls=True).over(wprev))
+        .withColumn("_next", F.first(obs_struct, ignorenulls=True).over(wnext))
+        .where(F.col("_isp") == 1)
+    )
+    dp = F.col("_us") - F.col("_prev.t")
+    dn = F.col("_next.t") - F.col("_us")
+    use_prev = F.col("_next").isNull() | (
+        F.col("_prev").isNotNull() & (dp <= dn)
+    )
+    chosen = F.when(use_prev, F.col("_prev")).otherwise(F.col("_next"))
+    side = (
+        F.when(F.col("_prev").isNull() & F.col("_next").isNull(),
+               F.lit("none"))
+        .when(use_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+    )
+    return staged.select(
+        key, ts, *order_cols,
+        F.col("_us").alias("probe_us"),
+        chosen["v"].alias("v_nearest"),
+        chosen["t"].alias("asof_ts_us"),
+        F.when(chosen.isNotNull(), F.abs(F.col("_us") - chosen["t"]))
+        .alias("dist_us"),
+        side.alias("side"),
+    )

@@ -462,6 +462,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4j  # noqa: F401  (KM survival / Mann-Whitney)
     import mintpy_spark.queries_r4k  # noqa: F401  (checkpoint lineage audit)
     import mintpy_spark.queries_r4l  # noqa: F401  (streaming dedup index check)
+    import mintpy_spark.queries_r4m  # noqa: F401  (nearest as-of / ROLLUP hierarchy)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -474,7 +475,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 186 entries: 2 red-in-latest-driver-check first, then 184 never
+# 188 entries: 2 red-in-latest-driver-check first, then 186 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -484,6 +485,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "anomaly_rolling_z",
     "anova_dow_daily",
     "asof_interpolate_click",
+    "asof_nearest_click",
     "attribution_last_touch",
     "audience_overlap_jaccard",
     "basket_brand_pairs",
@@ -582,6 +584,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "olap_promo_revenue_share",
     "olap_returned_items_top",
     "olap_revenue_delta",
+    "olap_rollup_hierarchy",
     "olap_ship_latency_quantiles",
     "olap_ship_priority_class",
     "olap_small_qty_revenue",
