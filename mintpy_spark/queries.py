@@ -463,6 +463,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4k  # noqa: F401  (checkpoint lineage audit)
     import mintpy_spark.queries_r4l  # noqa: F401  (streaming dedup index check)
     import mintpy_spark.queries_r4m  # noqa: F401  (nearest as-of / ROLLUP hierarchy)
+    import mintpy_spark.queries_r4n  # noqa: F401  (Welford online variance)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -475,7 +476,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 188 entries: 2 red-in-latest-driver-check first, then 186 never
+# 189 entries: 2 red-in-latest-driver-check first, then 187 never
 # driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "closure_triplet",
@@ -663,6 +664,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "warc_roundtrip",
     "wasserstein_drift_weekly",
     "welch_weekday_weekend",
+    "welford_online_var",
     "winsorized_daily_mean",
     "xcorr_daily_lag",
     "zorder_cell_stats",
