@@ -877,6 +877,9 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill bytes may pad before any marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length
             continue

@@ -14,6 +14,10 @@ rows already in (key, *order) order, and must treat groups
 independently (iterate ``pdf.groupby(key, sort=False)``). Values are
 bit-identical to the applyInPandas form because the per-key row
 sequence — and therefore every float operation — is unchanged.
+
+NULL keys are NOT supported: pandas groupby drops NaN groups and the
+carry-buffer equality test never matches NaN, so filter null keys
+upstream (every current caller's key column is non-null by schema).
 """
 
 from __future__ import annotations

@@ -691,3 +691,15 @@ def test_jpeg_dimensions_and_mp4_duration():
     from mintpy_spark.operators.multimodal import _real_meta
     assert _real_meta(jpeg)[:3] == ("image/jpeg", 640, 480)
     assert _real_meta(mp4)[5] == 5500
+
+
+def test_jpeg_fill_byte_padding_before_marker():
+    """Legal 0xFF fill bytes before a marker must not derail the SOF
+    walk (the fill byte is not a marker with a length)."""
+    from mintpy_spark.operators.multimodal import jpeg_dimensions
+
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+            + (10).to_bytes(2, "big") + (20).to_bytes(2, "big")
+            + bytes([3]) + bytes(9))
+    jpeg = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert jpeg_dimensions(jpeg) == (20, 10)
