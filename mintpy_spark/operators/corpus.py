@@ -30,7 +30,15 @@ _VOWEL_RE = "[aeiouy]+"
 
 
 def _count_matches(text_col: str, pattern: str) -> Column:
-    return F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)"))
+    # coalesce first: F.size returns -1 for a NULL array while the SQL
+    # oracles' len(regexp_extract_all(NULL)) returns NULL — '' gives the
+    # portable zero on both sides
+    return F.size(
+        F.expr(
+            f"regexp_extract_all(lower(coalesce({text_col}, '')),"
+            f" '{pattern}', 0)"
+        )
+    )
 
 
 def readability_scores(
@@ -105,9 +113,7 @@ def heaps_curve(
     # join; zero-token docs keep their rank slot for free
     all_docs = df.select(
         F.col(id_col),
-        F.size(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
-        ).cast("long").alias("ntok"),
+        _count_matches(text_col, _TOKEN_RE).cast("long").alias("ntok"),
     )
     n = all_docs.count()
     b = int(buckets)

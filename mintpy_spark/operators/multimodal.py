@@ -364,13 +364,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big") + tag + body
-            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
-        )
-
+    chunk = _png_chunk
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + bytes([8, 2, 0, 0, 0])  # bitdepth 8, truecolor, deflate, filter0, no interlace
@@ -459,12 +453,7 @@ def encode_png_palette(
     h, w = idx.shape
     assert idx.dtype == np.uint8 and palette.dtype == np.uint8
     assert depth in (1, 2, 4, 8) and int(idx.max(initial=0)) < (1 << depth)
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big") + tag + body
-            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
-        )
+    chunk = _png_chunk
 
     if depth == 8:
         packed = idx
@@ -669,6 +658,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.concatenate([rgb, alpha_lut[idx][..., None]], axis=2)
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """Four-pass GIF interlace row order (rows 0::8, 4::8, 2::4, 1::2) —
+    shared by encoder and decoder so they cannot desynchronize."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
 def encode_gif(
     idx: np.ndarray, palette: np.ndarray, interlace: bool = False,
     transparent: int | None = None,
@@ -689,11 +687,7 @@ def encode_gif(
 
     rows = idx
     if interlace:
-        order = (
-            list(range(0, h, 8)) + list(range(4, h, 8))
-            + list(range(2, h, 4)) + list(range(1, h, 2))
-        )
-        rows = idx[order]
+        rows = idx[_gif_interlace_order(h)]
     acc = nbits = 0
     out = bytearray()
 
@@ -838,12 +832,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += 1 + ln
         idx = _gif_lzw(min_code, bytes(data), w * h).reshape(h, w)
         if iflags & 0x40:  # four-pass interlace
-            order = (
-                list(range(0, h, 8)) + list(range(4, h, 8))
-                + list(range(2, h, 4)) + list(range(1, h, 2))
-            )
             de = np.zeros_like(idx)
-            de[order] = idx
+            de[_gif_interlace_order(h)] = idx
             idx = de
         if idx.max(initial=0) >= table.shape[0]:
             raise ValueError("GIF color index out of range")

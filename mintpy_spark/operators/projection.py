@@ -90,22 +90,20 @@ def jl_distortion_pairs(
         F.col("q").alias("qb"),
         F.col("p").alias("pb"),
     ).alias("b")
-    joined = a.join(b, "id")
-    d2f = sq_dist("q", "qb")
-    d2p = sq_dist("p", "pb")
-    return joined.select(
+    # compute each distance once, then derive the ratio from the columns
+    # (inlining the aggregates into ratio_bp would evaluate both array
+    # folds twice per row and let the copies drift apart)
+    dists = a.join(b, "id").select(
         F.col("id").alias(id_col),
-        d2f.alias("d2_full"),
-        d2p.alias("d2_proj"),
+        sq_dist("q", "qb").alias("d2_full"),
+        sq_dist("p", "pb").alias("d2_proj"),
+    )
+    return dists.select(
+        id_col,
+        "d2_full",
+        "d2_proj",
         F.when(
-            d2f > 0,
-            F.expr(
-                f"(10000 * aggregate(zip_with(p, pb, (x, y) ->"
-                f" (x - y) * (x - y)), cast(0 as bigint),"
-                f" (acc, v) -> acc + v))"
-                f" div ({out_dim} * aggregate(zip_with(q, qb, (x, y) ->"
-                f" (x - y) * (x - y)), cast(0 as bigint),"
-                f" (acc, v) -> acc + v))"
-            ),
+            F.col("d2_full") > 0,
+            F.expr(f"(10000 * d2_proj) div ({out_dim} * d2_full)"),
         ).alias("ratio_bp"),
     )

@@ -5,6 +5,7 @@
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,14 +68,18 @@ def tier_realtime_read_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tail = ev.where(F.date_trunc("day", "ts") >= F.lit(cut2))
     rt = m.read_realtime(spark, "1d", tail)
-    return rt.select(
+    # materialize off the store (localCheckpoint), then remove it — the
+    # returned DataFrame must not depend on the temp directory
+    out = rt.select(
         "user_id",
         "bucket_start",
         "cnt",
         (F.round("vsum", 2) + F.lit(0.0)).alias("vsum"),
         "vmin",
         "vmax",
-    )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return out
 
 
 @_q(

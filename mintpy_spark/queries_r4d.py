@@ -17,8 +17,10 @@ from mintpy_spark.queries import _q, load
     """
     WITH m AS (
       SELECT doc_id,
-             len(regexp_extract_all(lower(text), '[a-z]+'))     AS n_words,
-             len(regexp_extract_all(lower(text), '[aeiouy]+'))  AS n_syllables
+             len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+               AS n_words,
+             len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+               AS n_syllables
       FROM documents
     ), s AS (
       SELECT doc_id, n_words, n_syllables,

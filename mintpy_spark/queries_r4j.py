@@ -117,7 +117,7 @@ def survival_km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
       SELECT value,
              CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wkend
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), bins AS (
       SELECT value,
              CAST(SUM(wkend) AS BIGINT)     AS n_we,
@@ -153,9 +153,18 @@ def mannwhitney_wkday_wkend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered pass is bin-sized, not observation-sized. The observation
     scan is one map-side-combining aggregation.
     """
-    ev = load(spark, sf_dir, "events").select(
-        "value",
-        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wkend"),
+    # NULL guard on BOTH sides: Spark windows order NULLs first while
+    # DuckDB defaults to NULLS LAST, so an unguarded NULL value would
+    # shift every bin's cumulative rank differently per engine
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.dayofweek("ts").isin(1, 7), 1)
+            .otherwise(0)
+            .alias("wkend"),
+        )
     )
     bins = ev.groupBy("value").agg(
         F.sum("wkend").cast("long").alias("n_we"),

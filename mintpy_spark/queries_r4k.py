@@ -9,6 +9,7 @@ per-partition output.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -59,7 +60,8 @@ def checkpoint_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("row_count"))
     )
     counted = cells.collect()  # bounded: one row per partition
-    ckpt = CheckpointTable(tempfile.mkdtemp(prefix="lineage_audit_"))
+    root = tempfile.mkdtemp(prefix="lineage_audit_")
+    ckpt = CheckpointTable(root)
     run_id = uuid.uuid4().hex
     ckpt.append(
         [
@@ -76,6 +78,7 @@ def checkpoint_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     metrics = ckpt.stage_metrics("rollup_1d")
+    shutil.rmtree(root, ignore_errors=True)  # metrics are already read
     return spark.createDataFrame(
         sorted(metrics.items()), "part_id long, row_count long"
     )

@@ -11,6 +11,7 @@ the whole fold-probe-commit loop, not just batch LSH.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,12 +50,14 @@ def dedup_index_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("doc_id", 0.5, 10000).alias("m")
     ).collect()[0]
     mid = int(mid_row["m"])
-    m = DedupIndexMaintainer(
-        tempfile.mkdtemp(prefix="dedup_rt_check_"), threshold=0.875
-    )
+    root = tempfile.mkdtemp(prefix="dedup_rt_check_")
+    m = DedupIndexMaintainer(root, threshold=0.875)
     m.apply_batch(docs.where(F.col("doc_id") <= mid), batch_id=0)
     m.apply_batch(docs.where(F.col("doc_id") > mid), batch_id=1)
-    pairs = m.emitted_pairs(spark)
-    return pairs.select(
+    # materialize off the store (localCheckpoint), then remove it — the
+    # returned DataFrame must not depend on the temp directory
+    pairs = m.emitted_pairs(spark).select(
         "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
-    )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return pairs
