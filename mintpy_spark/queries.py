@@ -476,59 +476,9 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 189 entries: 2 red-in-latest-driver-check first, then 187 never
-# driver-checked (registry minus 115 keys across CORRECTNESS_r*.json).
+# 139 entries: 0 red-in-latest-driver-check first, then 139 never
+# driver-checked (registry minus 163 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "closure_triplet",
-    "pair_reconstruct_residual",
-    "acf_lag_spectrum",
-    "activity_streaks",
-    "anomaly_rolling_z",
-    "anova_dow_daily",
-    "asof_interpolate_click",
-    "asof_nearest_click",
-    "attribution_last_touch",
-    "audience_overlap_jaccard",
-    "basket_brand_pairs",
-    "benford_first_digit",
-    "bitmap_retention_weekly",
-    "bloom_join_prune",
-    "bloom_presence_fp",
-    "boilerplate_coverage",
-    "bpe_pair_census",
-    "burst_ratio_daily",
-    "cadence_interarrival_cv",
-    "checkpoint_lineage_audit",
-    "cms_30d_merge_topfreq",
-    "codec_dod_size_audit",
-    "codec_gorilla_size_audit",
-    "codec_text_blob_roundtrip",
-    "cohort_retention_weekly",
-    "conversion_hazard_daily",
-    "conversion_rate_wilson",
-    "cooccurrence_lift_daily",
-    "corpus_heaps_curve",
-    "corr_len_tokens",
-    "counter_rate_1d",
-    "coverage_seconds_daily",
-    "crawl_budget_waterfill",
-    "crawl_frontier_topk",
-    "crawl_politeness_schedule",
-    "crawl_revisit_lambda",
-    "cuped_adjusted_user",
-    "decontaminate_benchmark",
-    "dedup_cdc_chunks",
-    "dedup_containment",
-    "dedup_index_realtime_check",
-    "dedup_keeper_best_quality",
-    "dedup_lsh_recall_eval",
-    "dedup_ssjoin_exact",
-    "dedup_substring_spans",
-    "dedup_winnow_pairs",
-    "did_estimator",
-    "diurnal_entropy",
-    "doc_bigram_logprob",
-    "doc_unigram_logprob",
     "downsample_ltob_1d",
     "drift_shingle_jaccard",
     "drift_tvd_weekly",
