@@ -117,6 +117,13 @@ def heaps_curve(
     )
     n = all_docs.count()
     b = int(buckets)
+    if n == 0:
+        # empty input: the bucket expression would divide by zero (NULL
+        # buckets in Spark, an error in DuckDB) — return the empty curve
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "bucket int, docs_cum long, tokens_cum long, vocab_cum long"
+        )
     ranked = all_docs.withColumn(
         "rn", F.row_number().over(Window.orderBy(id_col))
     ).withColumn(

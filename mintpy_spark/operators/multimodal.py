@@ -870,6 +870,8 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
         if marker == 0xFF:  # fill bytes may pad before any marker
             pos += 1
             continue
+        if marker == 0xD9:  # EOI terminates the stream — trailing bytes
+            break  # (thumbnails, concatenated payloads) are not segments
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length
             continue

@@ -18,6 +18,8 @@ sequence — and therefore every float operation — is unchanged.
 NULL keys are NOT supported: pandas groupby drops NaN groups and the
 carry-buffer equality test never matches NaN, so filter null keys
 upstream (every current caller's key column is non-null by schema).
+The mapper enforces this loudly — a NULL key raises ValueError instead
+of silently dropping rows.
 """
 
 from __future__ import annotations
@@ -40,20 +42,51 @@ def map_sorted_groups(
     ``fn``."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: pd.DataFrame | None = None
+        # Chunks of the key group that spans batch boundaries accumulate
+        # in a list and are concatenated ONCE when the group closes, so a
+        # hot key spanning B batches copies O(rows) total, not O(B*rows).
+        tail_parts: list[pd.DataFrame] = []
+        tail_key = None
+
+        def flush_tail() -> pd.DataFrame:
+            group = (
+                tail_parts[0]
+                if len(tail_parts) == 1
+                else pd.concat(tail_parts, ignore_index=True)
+            )
+            tail_parts.clear()
+            return fn(group)
+
         for pdf in batches:
-            if buf is not None and len(buf):
-                pdf = pd.concat([buf, pdf], ignore_index=True)
             if not len(pdf):
                 continue
+            if pdf[key_col].isna().any():
+                raise ValueError(
+                    "map_sorted_groups: NULL key in %r — filter null keys "
+                    "upstream (contract: seqstate.py module docstring)"
+                    % key_col
+                )
+            if tail_parts:
+                head_mask = pdf[key_col] == tail_key
+                if head_mask.iloc[0]:
+                    # sorted partitions => the spanning key's rows are a
+                    # contiguous head block of this batch
+                    tail_parts.append(pdf[head_mask])
+                    pdf = pdf[~head_mask].reset_index(drop=True)
+                    if not len(pdf):
+                        continue
+                    yield flush_tail()
+                else:
+                    yield flush_tail()
             last = pdf[key_col].iloc[-1]
             mask = pdf[key_col] == last
-            buf = pdf[mask]
+            tail_parts.append(pdf[mask])
+            tail_key = last
             done = pdf[~mask]
             if len(done):
                 yield fn(done)
-        if buf is not None and len(buf):
-            yield fn(buf)
+        if tail_parts:
+            yield flush_tail()
 
     parts = src.repartition(key_col).sortWithinPartitions(
         key_col, *order_cols
