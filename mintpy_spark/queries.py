@@ -464,6 +464,7 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_r4l  # noqa: F401  (streaming dedup index check)
     import mintpy_spark.queries_r4m  # noqa: F401  (nearest as-of / ROLLUP hierarchy)
     import mintpy_spark.queries_r4n  # noqa: F401  (Welford online variance)
+    import mintpy_spark.queries_r5a  # noqa: F401  (Kalman q/r estimation + EM)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 
@@ -476,7 +477,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 139 entries: 0 red-in-latest-driver-check first, then 139 never
+# 142 entries: 0 red-in-latest-driver-check first, then 142 never
 # driver-checked (registry minus 163 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "downsample_ltob_1d",
@@ -507,7 +508,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "index_search_topk",
     "interval_join_session_errors",
     "ivm_segment_revenue_delta",
+    "kalman_em_step",
+    "kalman_level_adaptive",
     "kalman_level_filter",
+    "kalman_qr_moments",
     "kmv_anotb_audience",
     "kmv_audience_intersection",
     "knn_label_accuracy",
