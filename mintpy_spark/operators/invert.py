@@ -229,9 +229,29 @@ def network_invert(
     if sigma_col is not None and sigma_col not in cols:
         cols.append(sigma_col)
     if sigma_col is not None:
-        # covariance propagation needs the per-key pseudo-inverse — stays
-        # on the one-group-per-key path (rare, explicitly requested)
-        return pairs.select(*cols).groupBy(key).applyInPandas(solve, schema)
+        # covariance propagation needs the per-key pseudo-inverse; runs
+        # on the seqstate seam (key-clustered mapInPandas) so even this
+        # rare path avoids per-key Arrow frame construction (VERDICT r4
+        # #6). solve() still sees one key's rows at a time.
+        def solve_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = [solve(g) for _, g in pdf.groupby(key, sort=False)]
+            return pd.concat(outs, ignore_index=True)
+
+        from mintpy_spark.operators.seqstate import map_sorted_groups
+
+        src = pairs.select(*cols)
+        out = map_sorted_groups(
+            src.where(F.col(key).isNotNull()), key, (ts1, ts2),
+            solve_groups, schema,
+        )
+        # NULL keys are a legal (single) group here — the seam forbids
+        # them, so that one group keeps the grouped path (null-only scan,
+        # pushed-down filter; empty at plan time when the key is
+        # non-nullable by schema)
+        nulls = src.where(F.col(key).isNull())
+        return out.unionByName(
+            nulls.groupBy(key).applyInPandas(solve, schema)
+        )
 
     # ---- batched path (the default): cohort keys by network STRUCTURE --
     #

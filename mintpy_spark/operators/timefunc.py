@@ -268,7 +268,28 @@ def fit_time_func(
     cols += [c for c in extra_cols if c not in cols]
     if sigma_col is not None and sigma_col not in cols:
         cols.append(sigma_col)
-    return obs.select(*cols).groupBy(key).applyInPandas(fit, schema)
+
+    # seqstate seam (VERDICT r4 #6): mapInPandas over key-clustered
+    # partitions instead of one pandas frame PER KEY — the Kalman
+    # migration measured 6.8x from dropping per-key Arrow batch
+    # construction; the per-key numpy math below is unchanged (fit()
+    # still sees exactly one key's rows).
+    def fit_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [fit(g) for _, g in pdf.groupby(key, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    from mintpy_spark.operators.seqstate import map_sorted_groups
+
+    src = obs.select(*cols)
+    out = map_sorted_groups(
+        src.where(F.col(key).isNotNull()), key, (ts,), fit_groups, schema
+    )
+    # a NULL key is a legal (single) group — the seam forbids it, so
+    # that one group keeps the grouped path (empty at plan time when the
+    # key is non-nullable by schema)
+    return out.unionByName(
+        src.where(F.col(key).isNull()).groupBy(key).applyInPandas(fit, schema)
+    )
 
 
 def linear_velocity(
