@@ -517,17 +517,24 @@ def route_range_agg(
     parts: list[DataFrame] = []
     for tier, lo, hi in cover:
         if tier == "raw":
+            # raw fringe rows become UNIT partials (cnt 0/1, vsum=value)
+            # and merge in the single final aggregation below — one
+            # Exchange for the whole routed read instead of a pre-agg
+            # shuffle per raw piece plus the merge shuffle (partial
+            # map-side aggregation still combines them before the wire)
             parts.append(
                 obs.where(
                     (F.col(ts) >= F.lit(lo).cast("timestamp"))
                     & (F.col(ts) < F.lit(hi).cast("timestamp"))
-                )
-                .groupBy(key)
-                .agg(
-                    F.count(value_col).alias("cnt"),
-                    F.sum(value_col).alias("vsum"),
-                    F.min(value_col).alias("vmin"),
-                    F.max(value_col).alias("vmax"),
+                ).select(
+                    F.col(key),
+                    F.when(F.col(value_col).isNotNull(), F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("cnt"),
+                    F.col(value_col).cast("double").alias("vsum"),
+                    F.col(value_col).cast("double").alias("vmin"),
+                    F.col(value_col).cast("double").alias("vmax"),
                 )
             )
         else:
