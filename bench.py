@@ -239,6 +239,106 @@ def bench_scaling() -> dict:
     return result
 
 
+def bench_warc() -> dict:
+    """WARC-container ingest leg (VERDICT r4 #5): the same pages, once as
+    parquet and once as Common-Crawl-layout multi-member .warc.gz (one
+    gzip member per record, ~file-per-task parallelism), both driven
+    through extract -> repartition(url) -> 1h rollup. Proves the
+    sources/warc.py distributed read path scales past byte-identity
+    fixtures and prices the container: points/sec side by side.
+    BENCH_WARC_URLS (default 20000) x BENCH_WARC_OBS (default 30)."""
+    from pyspark.sql import functions as F
+
+    from mintpy_spark.datagen import gen_pages_bulk
+    from mintpy_spark.operators.observe import pages_to_obs_extracted
+    from mintpy_spark.operators.rollup import rollup_from_obs
+    from mintpy_spark.sources.warc import encode_warc, read_warc
+
+    num_urls = int(os.environ.get("BENCH_WARC_URLS", "20000"))
+    obs_per_url = int(os.environ.get("BENCH_WARC_OBS", "30"))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_warc_", dir=base)
+    pq_path = os.path.join(tmp, "pages.parquet")
+    warc_dir = os.path.join(tmp, "warc")
+    os.makedirs(warc_dir, exist_ok=True)
+
+    sp = _fresh_spark(CPUS)
+    pages = gen_pages_bulk(
+        sp, num_urls=num_urls, obs_per_url=obs_per_url, partitions=CPUS * 2
+    )
+    pages.write.mode("overwrite").parquet(pq_path)
+
+    # write the WARC layout: one .warc.gz per partition, one gzip member
+    # per record (the Common-Crawl file format; 64 files ~ 64 tasks)
+    def write_part(rows):
+        from pyspark import TaskContext
+
+        recs = [(r.url, r.warc_ts, bytes(r.html)) for r in rows]
+        if not recs:
+            return
+        pid = TaskContext.get().partitionId()
+        blob = encode_warc(recs, gzip_members=True)
+        with open(
+            os.path.join(warc_dir, f"part-{pid:05d}.warc.gz"), "wb"
+        ) as f:
+            f.write(blob)
+
+    sp.read.parquet(pq_path).select("url", "warc_ts", "html").repartition(
+        64
+    ).foreachPartition(write_part)
+
+    def ingest(src_pages) -> tuple[int, float]:
+        t0 = time.time()
+        obs = (
+            pages_to_obs_extracted(src_pages)
+            .select("url", "warc_ts", "text_length")
+            .repartition(128, F.col("url"))
+        )
+        t1h = rollup_from_obs(obs, "text_length", "1h")
+        n = int(t1h.agg(F.sum("cnt")).first()[0])
+        return n, time.time() - t0
+
+    def parquet_job():
+        return ingest(sp.read.parquet(pq_path))
+
+    def warc_job():
+        raw = read_warc(sp, warc_dir).where("record_type = 'response'")
+        return ingest(
+            raw.select(
+                "url", "warc_ts", "html",
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
+
+    out: dict = {"num_records": num_urls * obs_per_url}
+    jobs = {"parquet": parquet_job, "warc": warc_job}
+    samples: dict[str, list[float]] = {k: [] for k in jobs}
+    pts_by: dict[str, int] = {}
+    for name, job in jobs.items():
+        job()  # warm
+    # interleave reps so box interference spreads over both legs; min
+    # over reps is the interference-free floor (same estimator and
+    # rationale as bench_scaling)
+    for _ in range(int(os.environ.get("BENCH_WARC_REPS", "4"))):
+        for name, job in jobs.items():
+            pts_by[name], secs = job()
+            samples[name].append(secs)
+    for name in jobs:
+        best = min(samples[name])
+        out[f"sec_{name}"] = round(best, 3)
+        out[f"sec_{name}_samples"] = [round(s, 3) for s in sorted(samples[name])]
+        out[f"points_per_sec_{name}"] = round(pts_by[name] / best, 1)
+        out["points"] = pts_by[name]
+    out["warc_vs_parquet_ratio"] = round(
+        out["sec_warc"] / out["sec_parquet"], 3
+    )
+    sp.stop()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     # Scaling first: the box is coldest at process start, and the scaling
     # efficiency is the headline pass/fail number (>=0.8 target).
@@ -249,12 +349,17 @@ def main() -> None:
     queries = {}
     if os.environ.get("BENCH_QUERIES", "1") != "0":
         queries = bench_queries()
+    warc = None
+    if os.environ.get("BENCH_WARC", "1") != "0":
+        warc = bench_warc()
     payload = {
         "metric": "rolled-up points/sec through 3-tier rollup (scaling: local[N] vs local[4N])",
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }
+    if warc is not None:
+        payload["warc_ingest"] = warc
     if scaling is not None:
         payload["scaling"] = scaling
         payload["value"] = scaling["throughput_4n"]
