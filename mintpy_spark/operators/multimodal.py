@@ -5,13 +5,14 @@ exactly like the engine treats ``html``. The Spark-side machinery — schema,
 Arrow batch shape, mapInPandas signatures, partition behavior — is real and
 tested. Decode has two real codecs and a stub tier:
 
-* ``decode_stub=False`` runs REAL pure-NumPy decoders for the two
-  header+array container formats implementable without PIL/ffmpeg —
-  uncompressed 24-bpp BMP (decode_bmp), 8-bit truecolor PNG via stdlib
-  zlib (decode_png, all five scanline filters) and 16-bit PCM WAV
-  (decode_wav) — and raises ``NotImplementedError`` at the exact call
-  site where PIL/ffmpeg would slot in for the remaining formats
-  (JPEG/MP4/...).
+* ``decode_stub=False`` runs REAL pure-NumPy decoders — BMP
+  (decode_bmp), PNG via stdlib zlib (decode_png, all color types +
+  filters), GIF (full LZW), WAV (decode_wav), and baseline-sequential
+  JPEG pixels (operators/jpegdec.decode_jpeg: Huffman + IDCT + 4:2:0
+  upsample, cross-checked against javax.imageio) — and raises
+  ``NotImplementedError``/``ValueError`` at the exact call site where
+  PIL/ffmpeg would slot in for the remaining tail (progressive or
+  arithmetic-coded JPEG, MP3/AAC samples, MP4 frames).
 * ``decode_stub=True`` derives deterministic fake metadata/features from a
   payload digest for any format (plumbing tests, compressed formats).
 
@@ -950,8 +951,9 @@ def _real_meta(payload: bytes) -> tuple[str, int | None, int | None,
         frames = samples.shape[0]
         return mtype, None, None, frames, rate, frames * 1000 // rate
     raise NotImplementedError(
-        f"real decode for {mtype} requires PIL/ffmpeg; only BMP, PNG, GIF "
-        "and WAV have pure-NumPy/stdlib decoders in this sandbox"
+        f"real decode for {mtype} requires PIL/ffmpeg; BMP, PNG, GIF, WAV "
+        "and baseline JPEG (jpegdec.py) have pure-NumPy/stdlib decoders "
+        "in this sandbox"
     )
 
 
@@ -1032,12 +1034,21 @@ def extract_features(
 
     def _real_features(p: bytes) -> list[float]:
         mtype = sniff_media_type(p)
-        if mtype in ("image/bmp", "image/png", "image/gif"):
-            img = (
-                decode_bmp(p) if mtype == "image/bmp"
-                else decode_png(p)[:, :, :3] if mtype == "image/png"
-                else decode_gif(p)[:, :, :3]
-            )
+        if mtype in ("image/bmp", "image/png", "image/gif", "image/jpeg"):
+            if mtype == "image/jpeg":
+                # baseline-sequential pure-NumPy decode (jpegdec.py);
+                # progressive/arithmetic raise ValueError -> PIL seam
+                from mintpy_spark.operators.jpegdec import decode_jpeg
+
+                img = decode_jpeg(p)
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+            else:
+                img = (
+                    decode_bmp(p) if mtype == "image/bmp"
+                    else decode_png(p)[:, :, :3] if mtype == "image/png"
+                    else decode_gif(p)[:, :, :3]
+                )
             lum = img.astype(np.float32).mean(axis=2).ravel()
             hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
             v = hist.astype(np.float32)
