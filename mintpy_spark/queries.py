@@ -387,84 +387,15 @@ def _ensure_ext() -> None:
     import mintpy_spark.queries_dedup  # noqa: F401  (dedup/similarity queries)
     import mintpy_spark.queries_ext  # noqa: F401  (registers extended queries)
     import mintpy_spark.queries_ops  # noqa: F401  (diff/add/mask/decimate queries)
-    import mintpy_spark.queries_r3  # noqa: F401  (M4/KMV/counter/sliding queries)
-    import mintpy_spark.queries_r3c  # noqa: F401  (Theil-Sen/drift/LTOB/SQ queries)
-    import mintpy_spark.queries_r3d  # noqa: F401  (anomaly/correlation queries)
-    import mintpy_spark.queries_r3e  # noqa: F401  (rate/cadence/tfidf queries)
-    import mintpy_spark.queries_r3f  # noqa: F401  (STL/logprob queries)
-    import mintpy_spark.queries_r3g  # noqa: F401  (repetition/boilerplate queries)
-    import mintpy_spark.queries_r3h  # noqa: F401  (substring-span dedup queries)
-    import mintpy_spark.queries_r3i  # noqa: F401  (curation/burst/winsorize queries)
-    import mintpy_spark.queries_r3j  # noqa: F401  (interval-join/quota-sample queries)
-    import mintpy_spark.queries_r3k  # noqa: F401  (forecast/PMI/CDC queries)
-    import mintpy_spark.queries_r3l  # noqa: F401  (quality-aware keeper query)
-    import mintpy_spark.queries_r3m  # noqa: F401  (PII/entropy/xcorr queries)
-    import mintpy_spark.queries_r3n  # noqa: F401  (Holt/funnel/median queries)
-    import mintpy_spark.queries_r3o  # noqa: F401  (index/SCD2/cohort queries)
-    import mintpy_spark.queries_r3p  # noqa: F401  (align/profile/month queries)
-    import mintpy_spark.queries_r3q  # noqa: F401  (SAX/kNN/Benford queries)
-    import mintpy_spark.queries_r3r  # noqa: F401  (diff/silhouette/twm queries)
-    import mintpy_spark.queries_r3s  # noqa: F401  (CMS/priority-sample/Zipf queries)
-    import mintpy_spark.queries_r3t  # noqa: F401  (HDR/transition/diurnal queries)
-    import mintpy_spark.queries_r3u  # noqa: F401  (bitmap/overlap/hazard/gini queries)
-    import mintpy_spark.queries_r3v  # noqa: F401  (engagement/dwell/containment queries)
-    import mintpy_spark.queries_r3w  # noqa: F401  (HLL/bloom/rate-limit queries)
-    import mintpy_spark.queries_r3x  # noqa: F401  (OLAP Q4/Q13/Q22 + WoW queries)
-    import mintpy_spark.queries_r3y  # noqa: F401  (growth/IVM-join/share queries)
-    import mintpy_spark.queries_r3aa  # noqa: F401  (pivot/unpivot/rank queries)
-    import mintpy_spark.queries_r3bb  # noqa: F401  (lift/TVD-drift/concurrency queries)
-    import mintpy_spark.queries_r3cc  # noqa: F401  (bloom-prune/Wilson/RFM queries)
-    import mintpy_spark.queries_r3dd  # noqa: F401  (skew-audit/KS-drift queries)
-    import mintpy_spark.queries_r3ee  # noqa: F401  (sliding-HDR/eigen queries)
-    import mintpy_spark.queries_r3ff  # noqa: F401  (packing/frontier queries)
-    import mintpy_spark.queries_r3gg  # noqa: F401  (zorder/KMV-intersect/Q17 queries)
-    import mintpy_spark.queries_r3hh  # noqa: F401  (Q19/Q21/Q15 shapes)
-    import mintpy_spark.queries_r3ii  # noqa: F401  (coverage/bounce/FK-audit queries)
-    import mintpy_spark.queries_r3jj  # noqa: F401  (bootstrap/rolling-slope queries)
-    import mintpy_spark.queries_r3kk  # noqa: F401  (median-of-means/bitmap-retention queries)
-    import mintpy_spark.queries_r3ll  # noqa: F401  (attribution/mode/streak queries)
-    import mintpy_spark.queries_r3mm  # noqa: F401  (search/rank-shift/gini-mix queries)
-    import mintpy_spark.queries_r3nn  # noqa: F401  (CUPED/SRM/decile-bounds queries)
-    import mintpy_spark.queries_r3oo  # noqa: F401  (conversion-latency/DiD queries)
-    import mintpy_spark.queries_r3pp  # noqa: F401  (TPC-H Q5/Q10/Q18 shapes)
-    import mintpy_spark.queries_r3qq  # noqa: F401  (PSI/W1 drift + Mann-Kendall)
-    import mintpy_spark.queries_r3rr  # noqa: F401  (mixture/truncation/calibration)
-    import mintpy_spark.queries_r3ss  # noqa: F401  (ACF/Ljung-Box/Hurst)
-    import mintpy_spark.queries_r3tt  # noqa: F401  (TPC-H Q14/Q16/Q20 shapes)
-    import mintpy_spark.queries_r3uu  # noqa: F401  (ANOVA/seasonal-index/Welch)
-    import mintpy_spark.queries_r3vv  # noqa: F401  (bigram-LM/TTR/vocab-census)
-    import mintpy_spark.queries_r3ww  # noqa: F401  (embedding geometry audits)
-    import mintpy_spark.queries_r3xx  # noqa: F401  (paths/LTV-decay/basket)
-    import mintpy_spark.queries_r3yy  # noqa: F401  (TPC-H Q7/Q8/Q9 shapes)
-    import mintpy_spark.queries_r3zz  # noqa: F401  (sketch merge/difference algebra)
-    import mintpy_spark.queries_r3ab  # noqa: F401  (novelty/confusion/latency)
-    import mintpy_spark.queries_r3ac  # noqa: F401  (TPC-H Q6/Q2/Q11/Q12 shapes)
-    import mintpy_spark.queries_r3ad  # noqa: F401  (pagerank + LSH recall eval)
-    import mintpy_spark.queries_r3ae  # noqa: F401  (URL canonicalization census)
-    import mintpy_spark.queries_r3af  # noqa: F401  (winnowing + triangle count)
-    import mintpy_spark.queries_r3ag  # noqa: F401  (exact prefix-filter ssjoin)
-    import mintpy_spark.queries_r3ah  # noqa: F401  (water-filling crawl budget)
-    import mintpy_spark.queries_r3ai  # noqa: F401  (BM25/BPE-census/Siegel/hilo)
-    import mintpy_spark.queries_r3aj  # noqa: F401  (politeness schedule/change rate)
-    import mintpy_spark.queries_r3ak  # noqa: F401  (trend breakpoint search)
-    import mintpy_spark.queries_r3al  # noqa: F401  (product-quantization ANN)
-    import mintpy_spark.queries_r3am  # noqa: F401  (interpolated as-of alignment)
-    import mintpy_spark.queries_r3an  # noqa: F401  (sequence-pattern census)
-    import mintpy_spark.queries_r4a  # noqa: F401  (realtime tier read / deramped RMS)
-    import mintpy_spark.queries_r4b  # noqa: F401  (dod codec size audit)
-    import mintpy_spark.queries_r4c  # noqa: F401  (gorilla float size audit)
-    import mintpy_spark.queries_r4d  # noqa: F401  (readability / Heaps curves)
-    import mintpy_spark.queries_r4e  # noqa: F401  (Kalman local-level filter)
-    import mintpy_spark.queries_r4f  # noqa: F401  (CUBE grouping-sets revenue)
-    import mintpy_spark.queries_r4g  # noqa: F401  (JL projection distortion)
-    import mintpy_spark.queries_r4h  # noqa: F401  (Holt-Winters weekly)
-    import mintpy_spark.queries_r4i  # noqa: F401  (token-bucket admission)
-    import mintpy_spark.queries_r4j  # noqa: F401  (KM survival / Mann-Whitney)
-    import mintpy_spark.queries_r4k  # noqa: F401  (checkpoint lineage audit)
-    import mintpy_spark.queries_r4l  # noqa: F401  (streaming dedup index check)
-    import mintpy_spark.queries_r4m  # noqa: F401  (nearest as-of / ROLLUP hierarchy)
-    import mintpy_spark.queries_r4n  # noqa: F401  (Welford online variance)
     import mintpy_spark.queries_r5a  # noqa: F401  (Kalman q/r estimation + EM)
+    import mintpy_spark.queries_tpch  # noqa: F401  (TPC-H-shaped relational queries)
+    import mintpy_spark.queries_sketch2  # noqa: F401  (Sketch-tier queries)
+    import mintpy_spark.queries_text  # noqa: F401  (Text/LM analysis queries)
+    import mintpy_spark.queries_dedup2  # noqa: F401  (Dedup-family queries beyond queries_dedup)
+    import mintpy_spark.queries_embed  # noqa: F401  (Embedding/similarity queries)
+    import mintpy_spark.queries_stats2  # noqa: F401  (Statistical estimation/test queries)
+    import mintpy_spark.queries_tiers  # noqa: F401  (Tier/streaming/codec/sequential-state queries)
+    import mintpy_spark.queries_behave  # noqa: F401  (Behavioral/product analytics queries)
     import mintpy_spark.queries_ts  # noqa: F401  (asof/retention/filter queries)
 
 

@@ -123,7 +123,7 @@ def test_median_of_means_resists_outliers(spark, tmp_path):
 
 def test_did_recovers_planted_lift(spark, tmp_path):
     import __spark_entry__ as E
-    from mintpy_spark.queries_r3nn import _SPLIT_ED
+    from mintpy_spark.queries_stats2 import _SPLIT_ED
 
     base = dt.date(1970, 1, 1)
     pre_day = D(2024, 1, 10, 9)   # ed 19732 < split

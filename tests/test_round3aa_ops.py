@@ -16,7 +16,7 @@ def _events(spark, tmp_path, rows):
 
 
 def test_pivot_counts_with_other_bucket(spark, tmp_path):
-    from mintpy_spark.queries_r3aa import pivot_daily_type_counts
+    from mintpy_spark.queries_behave import pivot_daily_type_counts
 
     d0 = D(2024, 1, 1)
     _events(
@@ -35,7 +35,7 @@ def test_pivot_counts_with_other_bucket(spark, tmp_path):
 
 
 def test_unpivot_measures_long_stats(spark, tmp_path):
-    from mintpy_spark.queries_r3aa import unpivot_lineitem_measures
+    from mintpy_spark.queries_behave import unpivot_lineitem_measures
 
     rows = [
         (1, 1, 1, 1, 5.0, 100.50, 0.10, 0.0, "N", "O", D(1996, 1, 1)),
@@ -55,7 +55,7 @@ def test_unpivot_measures_long_stats(spark, tmp_path):
 
 
 def test_percent_rank_tie_safe(spark, tmp_path):
-    from mintpy_spark.queries_r3aa import value_percentile_daily
+    from mintpy_spark.queries_behave import value_percentile_daily
 
     d0 = D(2024, 1, 1)
     # values 1, 2, 2, 5: percent_rank = 0, 1/3, 1/3, 1  (ties share)

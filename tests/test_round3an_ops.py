@@ -7,7 +7,7 @@ import datetime as dt
 
 
 def test_event_pattern_census_fixture(spark):
-    from mintpy_spark.queries_r3an import event_pattern_census
+    from mintpy_spark.queries_behave import event_pattern_census
     import os
     import tempfile
 

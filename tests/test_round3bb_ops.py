@@ -20,7 +20,7 @@ def _events(spark, tmp_path, rows):
 
 
 def test_cooccurrence_lift_known(spark, tmp_path):
-    from mintpy_spark.queries_r3bb import cooccurrence_lift_daily
+    from mintpy_spark.queries_behave import cooccurrence_lift_daily
 
     # 4 baskets (day0 x users 1-4): A in all 4; B in 2; A&B together in 2
     # lift = P(ab)/(P(a)P(b)) = (2/4) / ((4/4)(2/4)) = 1.0 -> 1_000_000 ppm
@@ -38,7 +38,7 @@ def test_cooccurrence_lift_known(spark, tmp_path):
 
 
 def test_tvd_drift_known(spark, tmp_path):
-    from mintpy_spark.queries_r3bb import drift_tvd_weekly
+    from mintpy_spark.queries_behave import drift_tvd_weekly
 
     # week boundary: epoch-day // 7. Pick two consecutive 7-day blocks.
     # ed of 2024-01-01 = 19723 -> 19723//7 = 2817; next block starts at
@@ -62,7 +62,7 @@ def test_tvd_drift_known(spark, tmp_path):
 
 
 def test_tvd_identical_weeks_zero(spark, tmp_path):
-    from mintpy_spark.queries_r3bb import drift_tvd_weekly
+    from mintpy_spark.queries_behave import drift_tvd_weekly
 
     rows, eid = [], 0
     for day in (1, 8):  # same shape both weeks

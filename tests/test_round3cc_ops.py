@@ -18,7 +18,7 @@ def _orders(spark, tmp_path, rows):
 
 
 def test_bloom_prune_no_false_negatives(spark, tmp_path):
-    from mintpy_spark.queries_r3cc import PRICE_CUT, bloom_join_prune
+    from mintpy_spark.queries_sketch2 import PRICE_CUT, bloom_join_prune
 
     _orders(
         spark,
@@ -44,7 +44,7 @@ def test_bloom_prune_no_false_negatives(spark, tmp_path):
 
 
 def test_wilson_bounds_match_scipy_free_reference(spark, tmp_path):
-    from mintpy_spark.queries_r3cc import conversion_rate_wilson
+    from mintpy_spark.queries_sketch2 import conversion_rate_wilson
 
     d0 = D(2024, 1, 1)
     rows = [(i, d0 + dt.timedelta(minutes=i), 1,
@@ -68,7 +68,7 @@ def test_wilson_bounds_match_scipy_free_reference(spark, tmp_path):
 def test_rfm_quintiles_known(spark, tmp_path):
     from pyspark.sql import functions as F
 
-    from mintpy_spark.queries_r3cc import rfm_segments
+    from mintpy_spark.queries_sketch2 import rfm_segments
 
     # 10 users, user u active on day u with u+1 events of value u*10
     rows, eid = [], 0

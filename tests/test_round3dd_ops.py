@@ -19,7 +19,7 @@ def _events(spark, tmp_path, rows):
 
 
 def test_skew_audit_hot_key(spark, tmp_path):
-    from mintpy_spark.queries_r3dd import skew_audit_user_key
+    from mintpy_spark.queries_tiers import skew_audit_user_key
 
     # user 7: 50 rows; users 0..9 (others): 5 each -> total 95
     rows, eid = [], 0
@@ -46,8 +46,8 @@ def test_ks_vs_tvd_localized_shift(spark, tmp_path):
     (bin0 -> bins 1 and 9, 12.5% each) keeps TVD at 0.25 while the max
     CDF gap stays 0.25 at bin 0 — assert both metrics on the simple
     case where hand computation is unambiguous."""
-    from mintpy_spark.queries_r3dd import ks_drift_weekly
-    from mintpy_spark.queries_r3bb import drift_tvd_weekly
+    from mintpy_spark.queries_tiers import ks_drift_weekly
+    from mintpy_spark.queries_behave import drift_tvd_weekly
 
     rows, eid = [], 0
     # week a: 8 events bin 0 (value 10)
@@ -66,7 +66,7 @@ def test_ks_vs_tvd_localized_shift(spark, tmp_path):
 
 
 def test_ks_identical_weeks_zero(spark, tmp_path):
-    from mintpy_spark.queries_r3dd import ks_drift_weekly
+    from mintpy_spark.queries_tiers import ks_drift_weekly
 
     rows, eid = [], 0
     for day in (1, 8):

@@ -57,7 +57,7 @@ def test_duplicated_window_multiplicity_counts_positions(spark):
 def test_source_dup_profile_includes_short_docs(spark, tmp_path):
     """Docs below k tokens still count in n_docs but not n_scored."""
     import mintpy_spark.queries as Q
-    from mintpy_spark.queries_r3h import _SPANS_K, source_dup_profile
+    from mintpy_spark.queries_dedup2 import _SPANS_K, source_dup_profile
 
     docs = spark.createDataFrame(
         [

@@ -41,7 +41,7 @@ def test_pii_scrub_order_email_before_ip(spark):
 def test_token_entropy_known_values(spark):
     import __spark_entry__  # noqa: F401 — ensure registry import side effects
 
-    from mintpy_spark.queries_r3m import text_token_entropy  # noqa: F401
+    from mintpy_spark.queries_text import text_token_entropy  # noqa: F401
 
     # uniform over 4 distinct tokens -> H = ln(4); single repeated token -> 0
     docs = spark.createDataFrame(
@@ -64,7 +64,7 @@ def test_xcorr_perfect_lag(spark):
     # y(t) = x(t-2): r at lag 2 must be exactly 1.0 (r_micro = 1_000_000)
     from datetime import datetime
 
-    from mintpy_spark.queries_r3m import xcorr_daily_lag
+    from mintpy_spark.queries_text import xcorr_daily_lag
 
     x = [5, 9, 2, 7, 4, 8, 1, 6, 3, 10, 5, 7]
     rows = []

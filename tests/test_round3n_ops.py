@@ -47,7 +47,7 @@ def test_holt_drops_short_series(spark):
 
 
 def test_funnel_strict_ordering(spark):
-    from mintpy_spark.queries_r3n import funnel_3step
+    from mintpy_spark.queries_behave import funnel_3step
 
     rows = [
         # user 0: click -> view -> purchase (completes; 2h conversion)
@@ -74,7 +74,7 @@ def test_funnel_strict_ordering(spark):
 
 
 def test_runmedian_matches_sorted_middle(spark):
-    from mintpy_spark.queries_r3n import temporal_filter_runmedian
+    from mintpy_spark.queries_behave import temporal_filter_runmedian
 
     rows = [(i, datetime(2024, 1, 1 + i, 0), 7, "view", float(v), "{}")
             for i, v in enumerate([5.0, 1.0, 9.0, 3.0, 7.0])]

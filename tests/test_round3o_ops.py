@@ -15,7 +15,7 @@ def _write_events(spark, rows, td):
 
 
 def test_index_postings_exact(spark):
-    from mintpy_spark.queries_r3o import index_postings_stats
+    from mintpy_spark.queries_behave import index_postings_stats
 
     docs = spark.createDataFrame(
         [(1, "a b a", "en", "s", 5), (2, "b c", "en", "s", 3),
@@ -33,7 +33,7 @@ def test_index_postings_exact(spark):
 
 
 def test_scd2_snapshot_intervals(spark):
-    from mintpy_spark.queries_r3o import scd2_snapshot
+    from mintpy_spark.queries_behave import scd2_snapshot
 
     rows = [
         # user 0: value 2.0 until Jan 20 -> live value 2.0 at Jan 15
@@ -54,7 +54,7 @@ def test_scd2_snapshot_intervals(spark):
 
 
 def test_cohort_retention_counts(spark):
-    from mintpy_spark.queries_r3o import cohort_retention_weekly
+    from mintpy_spark.queries_behave import cohort_retention_weekly
 
     rows = [
         # user 0 signs up week 0, active weeks 0 and 2

@@ -15,7 +15,7 @@ def _write_events(spark, rows, td):
 
 
 def test_series_align_locf_carry(spark):
-    from mintpy_spark.queries_r3p import series_align_locf
+    from mintpy_spark.queries_behave import series_align_locf
 
     rows = [
         # user 0: click v=1.00 @t1, purchase v=5.00 @t2, click v=2.00 @t3
@@ -34,7 +34,7 @@ def test_series_align_locf_carry(spark):
 
 
 def test_profile_events_columns(spark):
-    from mintpy_spark.queries_r3p import profile_events_columns
+    from mintpy_spark.queries_behave import profile_events_columns
 
     rows = [
         (0, datetime(2024, 1, 1), 10, "click", 1.25, None),
@@ -53,7 +53,7 @@ def test_profile_events_columns(spark):
 
 
 def test_olap_monthly_orders_buckets(spark):
-    from mintpy_spark.queries_r3p import olap_monthly_orders
+    from mintpy_spark.queries_behave import olap_monthly_orders
 
     rows = [
         (1, 7, "O", 10.01, datetime(1995, 1, 15), "1-URGENT"),

@@ -15,7 +15,7 @@ def _write_events(spark, rows, td):
 
 
 def test_sax_motif_words_symbols(spark):
-    from mintpy_spark.queries_r3q import sax_motif_words
+    from mintpy_spark.queries_embed import sax_motif_words
 
     t0 = datetime(2024, 1, 1)
     rows = []
@@ -34,7 +34,7 @@ def test_sax_motif_words_symbols(spark):
 
 
 def test_sax_daily_mean_is_paa_frame(spark):
-    from mintpy_spark.queries_r3q import sax_motif_words
+    from mintpy_spark.queries_embed import sax_motif_words
 
     t0 = datetime(2024, 1, 1)
     # two obs on day 0 averaging to 1.0, then single-obs days 2.0, 3.0,
@@ -53,7 +53,7 @@ def test_sax_daily_mean_is_paa_frame(spark):
 
 
 def test_knn_label_accuracy_majority(spark):
-    from mintpy_spark.queries_r3q import knn_label_accuracy
+    from mintpy_spark.queries_embed import knn_label_accuracy
 
     # probes 0 (label 1, near +x) and 1 (label 2, near +y); candidates:
     # three label-1 vectors at +x, three label-2 at +y, and label-9
@@ -82,7 +82,7 @@ def test_knn_label_accuracy_majority(spark):
 
 
 def test_benford_first_digit_extraction(spark):
-    from mintpy_spark.queries_r3q import benford_first_digit
+    from mintpy_spark.queries_embed import benford_first_digit
 
     t0 = datetime(2024, 1, 1)
     vals = [1.00, 19.99, 0.05, 2.50, -1.11, 0.0, None]

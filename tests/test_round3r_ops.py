@@ -15,7 +15,7 @@ def _write_events(spark, rows, td):
 
 
 def test_tier_snapshot_diff_buckets(spark):
-    from mintpy_spark.queries_r3r import tier_snapshot_diff
+    from mintpy_spark.queries_behave import tier_snapshot_diff
 
     t0 = datetime(2024, 1, 1)
     rows = [
@@ -33,7 +33,7 @@ def test_tier_snapshot_diff_buckets(spark):
 
 
 def test_embedding_label_silhouette_separation(spark):
-    from mintpy_spark.queries_r3r import embedding_label_silhouette
+    from mintpy_spark.queries_behave import embedding_label_silhouette
 
     rows = [
         (0, [1.0, 0.0], 0),
@@ -57,7 +57,7 @@ def test_embedding_label_silhouette_separation(spark):
 
 
 def test_time_weighted_median_durations(spark):
-    from mintpy_spark.queries_r3r import time_weighted_median
+    from mintpy_spark.queries_behave import time_weighted_median
 
     t0 = datetime(2024, 1, 1)
     rows = [

@@ -133,7 +133,7 @@ def test_zipf_slope_negative_on_zipfian_counts(spark):
     import os
     import tempfile
 
-    from mintpy_spark.queries_r3s import text_zipf_slope
+    from mintpy_spark.queries_sketch2 import text_zipf_slope
 
     rows = []
     for rank in range(1, 21):

@@ -76,7 +76,7 @@ def test_hdr_merge_equals_direct_and_quantile_accuracy(spark):
 def test_transition_counts_known(spark):
     import datetime as dt
 
-    from mintpy_spark.queries_r3t import event_transition_top
+    from mintpy_spark.queries_sketch2 import event_transition_top
 
     base = dt.datetime(2024, 1, 1)
     rows = []
@@ -104,7 +104,7 @@ def test_transition_counts_known(spark):
 def test_diurnal_entropy_uniform_vs_point(spark):
     import datetime as dt
 
-    from mintpy_spark.queries_r3t import diurnal_entropy
+    from mintpy_spark.queries_sketch2 import diurnal_entropy
 
     rows = []
     eid = 0

@@ -63,7 +63,7 @@ def test_presence_tier_block_width_guard(spark):
 
 
 def test_audience_overlap_known(spark, tmp_path):
-    from mintpy_spark.queries_r3u import audience_overlap_jaccard
+    from mintpy_spark.queries_sketch2 import audience_overlap_jaccard
 
     # users 1,2,3 click; users 2,3,4 view  -> inter=2, union=4 -> 5000bp
     rows = []
@@ -82,7 +82,7 @@ def test_audience_overlap_known(spark, tmp_path):
 
 
 def test_conversion_hazard_known(spark, tmp_path):
-    from mintpy_spark.queries_r3u import conversion_hazard_daily
+    from mintpy_spark.queries_sketch2 import conversion_hazard_daily
 
     rows = [
         # user 1: click day0, purchase day0 (later) -> offset 0
@@ -109,7 +109,7 @@ def test_conversion_hazard_known(spark, tmp_path):
 
 
 def test_gini_closed_form_vs_naive(spark, tmp_path):
-    from mintpy_spark.queries_r3u import gini_user_concentration
+    from mintpy_spark.queries_sketch2 import gini_user_concentration
 
     # one type, counts [1, 1, 2, 4]: naive numer = sum((2i-n-1)*c)
     # i=1..4, n=4: (-3)*1 + (-1)*1 + (1)*2 + (3)*4 = 10; denom = 4*8=32

@@ -21,7 +21,7 @@ def _write_orders(spark, tmp_path, rows):
 
 
 def test_order_priority_semijoin_known(spark, tmp_path):
-    from mintpy_spark.queries_r3x import olap_order_priority_semijoin
+    from mintpy_spark.queries_tpch import olap_order_priority_semijoin
 
     _write_orders(
         spark,
@@ -51,7 +51,7 @@ def test_order_priority_semijoin_known(spark, tmp_path):
 
 
 def test_custdist_includes_zero_bucket(spark, tmp_path):
-    from mintpy_spark.queries_r3x import olap_custdist
+    from mintpy_spark.queries_tpch import olap_custdist
 
     spark.createDataFrame(
         [(1, "n1", 1, 0.0, "A"), (2, "n2", 1, 0.0, "A"), (3, "n3", 1, 0.0, "B")],
@@ -69,7 +69,7 @@ def test_custdist_includes_zero_bucket(spark, tmp_path):
 
 
 def test_idle_rich_threshold_and_anti_join(spark, tmp_path):
-    from mintpy_spark.queries_r3x import olap_idle_rich_customers
+    from mintpy_spark.queries_tpch import olap_idle_rich_customers
 
     # balances in cents: 100.00, 200.00, 600.00 -> mean 300.00 cents=30000
     spark.createDataFrame(
@@ -96,7 +96,7 @@ def test_idle_rich_threshold_and_anti_join(spark, tmp_path):
 
 
 def test_wow_change_known(spark, tmp_path):
-    from mintpy_spark.queries_r3x import rollup_1d_wow_change
+    from mintpy_spark.queries_tpch import rollup_1d_wow_change
 
     rows = []
     eid = 0

@@ -51,7 +51,7 @@ def test_growth_accounting_identities(spark):
 
 
 def test_ivm_partials_merge_equals_full(spark, tmp_path):
-    from mintpy_spark.queries_r3y import ivm_segment_revenue_delta
+    from mintpy_spark.queries_behave import ivm_segment_revenue_delta
 
     spark.createDataFrame(
         [(1, "n", 1, 0.0, "A"), (2, "n", 1, 0.0, "B")],
@@ -74,7 +74,7 @@ def test_ivm_partials_merge_equals_full(spark, tmp_path):
 
 
 def test_share_of_day_sums_to_10000(spark, tmp_path):
-    from mintpy_spark.queries_r3y import share_of_day_by_type
+    from mintpy_spark.queries_behave import share_of_day_by_type
 
     rows = []
     for i in range(120):

@@ -23,7 +23,7 @@ def test_residual_rms_deramped_removes_planted_ramp(spark):
     ramp + alternating ±1 noise orthogonal to the ramp -> RMS 1 (the
     deramp must NOT absorb the noise). Mirrors the reference pipeline
     stage timeseries_rms.py:35-72 (deramp before RMS)."""
-    from mintpy_spark.queries_r4a import residual_rms_deramped
+    from mintpy_spark.queries_tiers import residual_rms_deramped
 
     t1 = dt.datetime(2024, 7, 1, 12)
     t2 = dt.datetime(2024, 7, 2, 12)
@@ -56,7 +56,7 @@ def test_tier_realtime_read_check_equals_batch(spark):
     incremental fold 1, realtime tail) is non-trivially exercised."""
     import pyspark.sql.functions as F
 
-    from mintpy_spark.queries_r4a import tier_realtime_read_check
+    from mintpy_spark.queries_tiers import tier_realtime_read_check
 
     t0 = dt.datetime(2024, 7, 1)
     rows = []

@@ -34,7 +34,7 @@ def test_encode_timestamps_sizes_match_closed_form():
 
 
 def test_codec_dod_size_audit_query(spark):
-    from mintpy_spark.queries_r4b import codec_dod_size_audit
+    from mintpy_spark.queries_tiers import codec_dod_size_audit
 
     t0 = dt.datetime(2024, 7, 1)
     rows = []
@@ -62,7 +62,7 @@ def test_codec_text_blob_roundtrip_query_with_null_text(spark):
     b'None'), and md5s must match the source bytes for the rest."""
     import pyspark.sql.functions as F
 
-    from mintpy_spark.queries_r4b import codec_text_blob_roundtrip
+    from mintpy_spark.queries_tiers import codec_text_blob_roundtrip
 
     rows = [
         (0, "hello world", "en", "web", 11),

@@ -46,7 +46,7 @@ def test_encode_floats_sizes_match_closed_form():
 
 
 def test_codec_gorilla_size_audit_query(spark):
-    from mintpy_spark.queries_r4c import codec_gorilla_size_audit
+    from mintpy_spark.queries_tiers import codec_gorilla_size_audit
 
     t0 = dt.datetime(2024, 7, 1)
     rows = []

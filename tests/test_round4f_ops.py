@@ -7,7 +7,7 @@ def test_olap_cube_revenue_grouping_levels(spark):
     import os
     import tempfile
 
-    from mintpy_spark.queries_r4f import olap_cube_revenue
+    from mintpy_spark.queries_tpch import olap_cube_revenue
 
     c = spark.createDataFrame(
         [(1, "BUILDING", 10), (2, "AUTO", 20)],

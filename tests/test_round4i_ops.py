@@ -9,7 +9,7 @@ import tempfile
 
 
 def test_token_bucket_admission_planted(spark):
-    from mintpy_spark.queries_r4i import token_bucket_admission
+    from mintpy_spark.queries_tiers import token_bucket_admission
 
     t0 = dt.datetime(2024, 7, 1)
 

@@ -17,7 +17,7 @@ def _write_events(spark, d, rows):
 
 
 def test_survival_km_risk_table_planted(spark):
-    from mintpy_spark.queries_r4j import survival_km_risk_table
+    from mintpy_spark.queries_stats2 import survival_km_risk_table
 
     t0 = dt.datetime(2024, 1, 1)
 
@@ -49,7 +49,7 @@ def test_survival_km_risk_table_planted(spark):
 
 
 def test_mannwhitney_planted(spark):
-    from mintpy_spark.queries_r4j import mannwhitney_wkday_wkend
+    from mintpy_spark.queries_stats2 import mannwhitney_wkday_wkend
 
     # 2024-01-06/07 = Sat/Sun; 2024-01-08 = Mon
     sat = dt.datetime(2024, 1, 6, 12)

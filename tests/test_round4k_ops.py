@@ -10,7 +10,7 @@ import tempfile
 
 
 def test_checkpoint_lineage_audit_planted(spark):
-    from mintpy_spark.queries_r4k import checkpoint_lineage_audit
+    from mintpy_spark.queries_tiers import checkpoint_lineage_audit
 
     t0 = dt.datetime(2024, 3, 1)
     rows = []

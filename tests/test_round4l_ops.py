@@ -8,7 +8,7 @@ import tempfile
 
 
 def test_dedup_index_realtime_check_cross_batch_pair(spark):
-    from mintpy_spark.queries_r4l import dedup_index_realtime_check
+    from mintpy_spark.queries_tiers import dedup_index_realtime_check
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
     rows = [

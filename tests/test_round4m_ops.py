@@ -42,7 +42,7 @@ def test_olap_rollup_hierarchy_levels(spark):
     import os
     import tempfile
 
-    from mintpy_spark.queries_r4m import olap_rollup_hierarchy
+    from mintpy_spark.queries_behave import olap_rollup_hierarchy
 
     r = spark.createDataFrame(
         [(1, "EUROPE"), (2, "AFRICA")], "r_regionkey long, r_name string"

@@ -24,7 +24,7 @@ def test_welford_online_var_planted(spark):
     import math
     import statistics
 
-    from mintpy_spark.queries_r4n import welford_online_var
+    from mintpy_spark.queries_tiers import welford_online_var
 
     t0 = dt.datetime(2024, 6, 1)
     ys1 = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
