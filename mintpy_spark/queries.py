@@ -408,7 +408,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 142 entries: 0 red-in-latest-driver-check first, then 142 never
+# 143 entries: 0 red-in-latest-driver-check first, then 143 never
 # driver-checked (registry minus 163 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "downsample_ltob_1d",
@@ -443,6 +443,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "kalman_level_adaptive",
     "kalman_level_filter",
     "kalman_qr_moments",
+    "kalman_realtime_check",
     "kmv_anotb_audience",
     "kmv_audience_intersection",
     "knn_label_accuracy",

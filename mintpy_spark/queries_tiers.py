@@ -1495,3 +1495,95 @@ def ks_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ks_bp"),
     )
+
+
+# =========================================================================
+# round 5: streaming Kalman — the applyInPandasWithState leg of the
+# sequential-state family, driver-hashed like tier_realtime_read_check
+# =========================================================================
+
+
+@_q(
+    "kalman_realtime_check",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, value)
+               AS rn,
+             CAST(value AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+    ), rec AS (
+      SELECT user_id, rn, y, y AS m, CAST(1.0 AS DOUBLE) AS p
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.y,
+             rec.m + ((rec.p + 0.04) / (rec.p + 0.04 + 1.0))
+                   * (s.y - rec.m),
+             (1 - (rec.p + 0.04) / (rec.p + 0.04 + 1.0))
+               * (rec.p + 0.04)
+      FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+    )
+    SELECT user_id, rn,
+           CAST(FLOOR(m * 10000) AS BIGINT) AS level_e4
+    FROM rec
+    """,
+)
+def kalman_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Kalman filter under the batch oracle: replay the
+    events table through a real Structured Streaming query
+    (applyInPandasWithState, parquet source, availableNow) in TWO
+    RESTARTS split at the median timestamp — state restored from the
+    checkpoint between them — and hash the union of emitted rows against
+    the same recursive-CTE oracle that certifies the batch filter
+    (kalman_level_filter). Equality proves the state carry (last_ts, rn,
+    m, p), the restart recovery, and the per-micro-batch fold reproduce
+    the batch recursion bit-for-bit.
+
+    Reference analog: update-mode incremental processing
+    (smallbaselineApp run_or_skip) — new epochs fold into stored state,
+    never re-reading history.
+
+    Scale: O(1) state per key; each micro-batch costs one key-partition
+    shuffle of the delta only. The bounded .collect() pulls one median
+    timestamp.
+    """
+    from mintpy_spark.streaming.kalman_stream import streaming_kalman_level
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    mid = ev.select(
+        F.percentile_approx(us, 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="kalman_rt_check_")
+    inp, outp, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_kalman_level(src, "value", key="user_id", ts="ts")
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = ev.select("user_id", "ts", "value")
+    half.where(us <= mid).write.mode("append").parquet(inp)
+    run_once()
+    half.where(us > mid).write.mode("append").parquet(inp)
+    run_once()
+
+    out = (
+        spark.read.parquet(outp)
+        .select(
+            "user_id",
+            "rn",
+            F.floor(F.col("level") * F.lit(10000)).cast("long").alias("level_e4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,82 @@
+"""Streaming Kalman filter: streaming == batch over replayed history,
+state survives restarts, replays are no-ops."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def _run(spark, inp, outp, ckpt):
+    from mintpy_spark.streaming.kalman_stream import streaming_kalman_level
+
+    src = spark.readStream.schema(SCHEMA).parquet(inp)
+    q = (
+        streaming_kalman_level(src)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _series(uid, seed, n, start=0):
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        (uid, t0 + dt.timedelta(hours=start + i), float(v))
+        for i, v in enumerate(rng.normal(50, 5, n).round(2))
+    ]
+
+
+def test_streaming_equals_batch_across_restarts(spark, paths):
+    from mintpy_spark.operators.kalman import kalman_level
+
+    inp, outp, ckpt = paths
+    rows1 = _series(1, 5, 20) + _series(2, 6, 15)
+    rows1[3] = (1, rows1[3][1], None)  # NULL obs carries no update
+    spark.createDataFrame(rows1, SCHEMA).write.mode("append").parquet(inp)
+    _run(spark, inp, outp, ckpt)
+    # continuation batch after a RESTART: state must resume, not re-init
+    rows2 = _series(1, 7, 10, start=20) + _series(3, 8, 5)
+    spark.createDataFrame(rows2, SCHEMA).write.mode("append").parquet(inp)
+    _run(spark, inp, outp, ckpt)
+
+    got = {
+        (r["user_id"], r["rn"]): r["level"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    hist = spark.createDataFrame(rows1 + rows2, SCHEMA)
+    want = {
+        (r["user_id"], r["rn"]): r["level"]
+        for r in kalman_level(hist, "value", key="user_id", ts="ts").collect()
+    }
+    assert got == want  # bit-identical levels, every key, every rn
+
+
+def test_replay_is_noop(spark, paths):
+    inp, outp, ckpt = paths
+    rows = _series(1, 9, 12)
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(inp)
+    _run(spark, inp, outp, ckpt)
+    n1 = spark.read.parquet(outp).count()
+    # redeliver the SAME rows (new files, old timestamps): all skipped
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(inp)
+    _run(spark, inp, outp, ckpt)
+    assert spark.read.parquet(outp).count() == n1
