@@ -80,3 +80,44 @@ def test_replay_is_noop(spark, paths):
     spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(inp)
     _run(spark, inp, outp, ckpt)
     assert spark.read.parquet(outp).count() == n1
+
+
+def test_filter_job_incremental(spark, tmp_path, capsys):
+    """jobs/filter_job.py: two invocations consume only new files; the
+    accumulated output equals the batch filter over everything."""
+    import json
+
+    from jobs.filter_job import main as filter_main
+
+    from mintpy_spark.operators.kalman import kalman_level
+
+    inp = str(tmp_path / "obs")
+    outp = str(tmp_path / "levels")
+    ckpt = str(tmp_path / "ck")
+    args = [
+        "--input", inp, "--output", outp, "--checkpoint", ckpt,
+        "--value-col", "value", "--key", "user_id", "--ts", "ts",
+        "--schema", SCHEMA,
+    ]
+    rows1 = _series(1, 31, 10)
+    spark.createDataFrame(rows1, SCHEMA).write.mode("append").parquet(inp)
+    filter_main(args)
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["levels"] == 10
+
+    rows2 = _series(1, 32, 6, start=10) + _series(2, 33, 4)
+    spark.createDataFrame(rows2, SCHEMA).write.mode("append").parquet(inp)
+    filter_main(args)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["levels"] == 20
+
+    got = {
+        (r["user_id"], r["rn"]): r["level"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    hist = spark.createDataFrame(rows1 + rows2, SCHEMA)
+    want = {
+        (r["user_id"], r["rn"]): r["level"]
+        for r in kalman_level(hist, "value", key="user_id", ts="ts").collect()
+    }
+    assert got == want
