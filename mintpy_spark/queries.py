@@ -408,7 +408,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 143 entries: 0 red-in-latest-driver-check first, then 143 never
+# 144 entries: 0 red-in-latest-driver-check first, then 144 never
 # driver-checked (registry minus 163 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "downsample_ltob_1d",
@@ -504,6 +504,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "series_align_locf",
     "session_bounce_daily",
     "session_path_trigrams",
+    "sessionize_realtime_check",
     "sessions_concurrent_peak",
     "share_of_day_by_type",
     "shingle_novelty_share",

@@ -1587,3 +1587,80 @@ def kalman_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@_q(
+    "sessionize_realtime_check",
+    """
+    WITH sessions AS (
+    """
+    + __import__("mintpy_spark.operators.sessionize", fromlist=["x"])
+    .sessionize_oracle_sql(gap_seconds=86400)
+    + """
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY session_start DESC) AS rk
+      FROM sessions
+    )
+    SELECT user_id, session_start, session_end, duration_us, n_events,
+           ROUND(vsum, 2) AS vsum
+    FROM ranked WHERE rk > 1
+    """,
+)
+def sessionize_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sessionizer under the batch oracle: replay events
+    through a real two-restart Structured Streaming run
+    (streaming/session_stream.py, gap = 1 day) and hash the emitted
+    CLOSED sessions against the batch lag/cumsum sessionization MINUS
+    each key's final session (still open in the stream's state — by
+    construction the only difference between the two answers). Certifies
+    the open-session state carry, the <=-merges boundary rule, restart
+    recovery, and NULL-value semantics (extend but don't count) across
+    micro-batch splits.
+
+    Scale: 32 bytes of state per key; micro-batch cost is one
+    key-partition shuffle of the delta. The bounded .collect() pulls one
+    median timestamp.
+    """
+    from mintpy_spark.streaming.session_stream import streaming_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    mid = ev.select(
+        F.percentile_approx(us, 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="session_rt_check_")
+    inp, outp, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_sessionize(
+                src, key="user_id", ts="ts", value_col="value",
+                gap_seconds=86400,
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = ev.select("user_id", "ts", "value")
+    half.where(us <= mid).write.mode("append").parquet(inp)
+    run_once()
+    half.where(us > mid).write.mode("append").parquet(inp)
+    run_once()
+
+    out = (
+        spark.read.parquet(outp)
+        .select(
+            "user_id", "session_start", "session_end", "duration_us",
+            "n_events", F.round("vsum", 2).alias("vsum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
