@@ -101,10 +101,13 @@ def main(argv: list[str] | None = None) -> None:
         q=args.q,
         r=args.r,
     )
-    try:
+    import os
+
+    if os.path.isdir(args.output):
         n = spark.read.parquet(args.output).count()
-    except Exception:
-        n = 0  # no data arrived yet — a successful no-op
+    else:
+        n = 0  # no data arrived yet — a successful no-op; any real read
+        # error (permissions, corruption) propagates and fails the job
     print(json.dumps({"wall_sec": round(time.time() - t0, 2), "levels": n}))
     if owned:
         spark.stop()

@@ -90,9 +90,15 @@ class _BitReader:
 
     def bit(self) -> int:
         if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             b = self.data[self.pos]
             if b == 0xFF:
-                nxt = self.data[self.pos + 1]
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9  # trailing 0xFF at EOF: treat as EOI
+                )
                 if nxt == 0x00:
                     self.pos += 2
                 else:
@@ -119,10 +125,13 @@ class _BitReader:
     def align_to_marker(self) -> int:
         """Discard partial byte, expect a marker at pos; return it."""
         self.nbits = 0
-        while self.data[self.pos] != 0xFF:
+        end = len(self.data)
+        while self.pos < end and self.data[self.pos] != 0xFF:
             self.pos += 1  # spec allows garbage before RST? be lenient
-        while self.data[self.pos + 1] == 0xFF:
+        while self.pos + 1 < end and self.data[self.pos + 1] == 0xFF:
             self.pos += 1
+        if self.pos + 1 >= end:
+            raise ValueError("truncated JPEG entropy stream")
         m = self.data[self.pos + 1]
         self.pos += 2
         return m
@@ -229,6 +238,14 @@ def _decode_scan(
 ):
     if len(scomp) != len(comps):
         raise ValueError("non-interleaved multi-scan baseline — PIL seam")
+    if len(comps) == 1:
+        # T.81 A.2.3: a single-component scan is NON-INTERLEAVED — one
+        # data unit per MCU in the component's own raster order,
+        # regardless of the SOF sampling factors (libjpeg emits h=v=2
+        # single-component frames when chroma is dropped without
+        # resetting factors; MCU-tiled geometry would scramble pixels
+        # or desync the Huffman stream)
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))

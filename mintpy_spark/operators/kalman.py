@@ -229,6 +229,47 @@ def kalman_em_stats(
     )
 
 
+def _diff_moments(base: DataFrame) -> DataFrame:
+    """base(k, t, y) -> per-key floor-quantized moment sums
+    (k, n_d, s0, s1, n1) over the differenced series, keys with >= 2
+    diffs. The single home of the exactness discipline both
+    kalman_qr_moments and kalman_level_adaptive (and their oracles)
+    depend on: d products floor-quantized to 1e-6 PER ROW, summed as
+    int64 — order-free across engines and partitionings."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("t", "y")
+    diffs = base.withColumn("d", F.col("y") - F.lag("y").over(w)).withColumn(
+        "dn", F.lead("d").over(w)
+    )
+    e6 = F.lit(1000000.0)
+    return (
+        diffs.where(F.col("d").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count("d").alias("n_d"),
+            F.sum(F.floor(F.col("d") * F.col("d") * e6)).alias("s0"),
+            F.sum(
+                F.when(
+                    F.col("dn").isNotNull(),
+                    F.floor(F.col("d") * F.col("dn") * e6),
+                )
+            ).alias("s1"),
+            F.sum(F.when(F.col("dn").isNotNull(), F.lit(1))).alias("n1"),
+        )
+        .where(F.col("n_d") >= 2)
+    )
+
+
+def _c0_c1() -> tuple[F.Column, F.Column]:
+    """The fixed double expressions deriving the raw moments from the
+    integer sums — identical term-for-term to the oracles' cm CTE."""
+    e6 = F.lit(1000000.0)
+    c0 = F.col("s0").cast("double") / (F.col("n_d").cast("double") * e6)
+    c1 = F.col("s1").cast("double") / (F.col("n1").cast("double") * e6)
+    return c0, c1
+
+
 def kalman_qr_moments(
     df: DataFrame,
     value_col: str = "value",
@@ -255,38 +296,13 @@ def kalman_qr_moments(
     Scale: one shuffle (window partitioned by key) + one hash agg — no
     Python, whole-stage codegen end to end.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("k").orderBy("t", "y")
-    src = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
-            F.col(key).alias("k"),
-            F.col(ts).alias("t"),
-            F.col(value_col).cast("double").alias("y"),
-        )
-        .withColumn("d", F.col("y") - F.lag("y").over(w))
-        .withColumn("dn", F.lead("d").over(w))
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("t"),
+        F.col(value_col).cast("double").alias("y"),
     )
-    e6 = F.lit(1000000.0)
-    agg = (
-        src.where(F.col("d").isNotNull())
-        .groupBy("k")
-        .agg(
-            F.count("d").alias("n_d"),
-            F.sum(F.floor(F.col("d") * F.col("d") * e6)).alias("s0"),
-            F.sum(
-                F.when(
-                    F.col("dn").isNotNull(),
-                    F.floor(F.col("d") * F.col("dn") * e6),
-                )
-            ).alias("s1"),
-            F.sum(F.when(F.col("dn").isNotNull(), F.lit(1))).alias("n1"),
-        )
-        .where(F.col("n_d") >= 2)
-    )
-    c0 = F.col("s0").cast("double") / (F.col("n_d").cast("double") * e6)
-    c1 = F.col("s1").cast("double") / (F.col("n1").cast("double") * e6)
+    agg = _diff_moments(base)
+    c0, c1 = _c0_c1()
     e4 = F.lit(10000.0)
     return agg.select(
         F.col("k").alias(key),
@@ -322,36 +338,13 @@ def kalman_level_adaptive(
     both sides share hash(key) partitioning at 10^9 keys so the join is
     co-located with the seqstate shuffle), then the one-pass seam.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("k").orderBy("t", "y")
     base = df.where(F.col(value_col).isNotNull()).select(
         F.col(key).alias("k"),
         F.col(ts).alias("t"),
         F.col(value_col).cast("double").alias("y"),
     )
-    diffs = base.withColumn("d", F.col("y") - F.lag("y").over(w)).withColumn(
-        "dn", F.lead("d").over(w)
-    )
-    e6 = F.lit(1000000.0)
-    params = (
-        diffs.where(F.col("d").isNotNull())
-        .groupBy("k")
-        .agg(
-            F.count("d").alias("n_d"),
-            F.sum(F.floor(F.col("d") * F.col("d") * e6)).alias("s0"),
-            F.sum(
-                F.when(
-                    F.col("dn").isNotNull(),
-                    F.floor(F.col("d") * F.col("dn") * e6),
-                )
-            ).alias("s1"),
-            F.sum(F.when(F.col("dn").isNotNull(), F.lit(1))).alias("n1"),
-        )
-        .where(F.col("n_d") >= 2)
-    )
-    c0 = F.col("s0").cast("double") / (F.col("n_d").cast("double") * e6)
-    c1 = F.col("s1").cast("double") / (F.col("n1").cast("double") * e6)
+    params = _diff_moments(base)
+    c0, c1 = _c0_c1()
     fv = F.lit(float(floor_var))
     params = params.select(
         "k",

@@ -26,11 +26,11 @@ micro-batch's cost is delta-proportional.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -74,11 +74,14 @@ def streaming_kalman_level(
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 [ts, value_col]
             )
-            for ts_, raw in zip(pdf[ts], pdf[value_col]):
-                if raw is None or (
-                    isinstance(raw, float) and not math.isfinite(raw)
-                ):
-                    continue  # NULL observation carries no update
+            for ts_, raw, nn in zip(pdf[ts], pdf[value_col], pdf["_nn"]):
+                # NULL carries no update (the batch filter's where-clause);
+                # a NaN VALUE is non-null there and flows into the
+                # recursion — pandas folds NULL doubles to NaN, so the
+                # Spark-side _nn indicator preserves the distinction and
+                # keeps stream == batch bit-identical on NaN data too
+                if not nn:
+                    continue
                 ts_us = int(pd.Timestamp(ts_).value // 1000)
                 if last_ts is not None and ts_us <= last_ts:
                     continue  # replay/out-of-order behind state
@@ -99,7 +102,8 @@ def streaming_kalman_level(
         if out:
             yield pd.DataFrame(out, columns=[key, "rn", ts, "level"])
 
-    return obs.groupBy(key).applyInPandasWithState(
+    src = obs.withColumn("_nn", F.col(value_col).isNotNull())
+    return src.groupBy(key).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,

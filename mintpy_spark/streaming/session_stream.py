@@ -28,11 +28,11 @@ certifies.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -87,7 +87,7 @@ def streaming_sessionize(
 
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(ts)
-            for ts_, raw in zip(pdf[ts], pdf[value_col]):
+            for ts_, raw, nn in zip(pdf[ts], pdf[value_col], pdf["_nn"]):
                 ts_us = int(pd.Timestamp(ts_).value // 1000)
                 if start_us is not None and ts_us <= last_us:
                     continue  # replay/out-of-order behind state
@@ -98,10 +98,12 @@ def streaming_sessionize(
                     start_us = ts_us
                     n, vsum = 0, 0.0
                 last_us = ts_us
-                ok = raw is not None and not (
-                    isinstance(raw, float) and math.isnan(raw)
-                )
-                if ok:
+                # _nn preserves the NULL/NaN distinction pandas erases:
+                # NULL extends the session but is not counted (batch
+                # count(value)/sum(value)); a NaN VALUE is non-null
+                # there, so it counts and poisons vsum to NaN — in both
+                # engines identically
+                if nn:
                     n += 1
                     vsum += float(raw)
         if start_us is not None:
@@ -115,7 +117,8 @@ def streaming_sessionize(
                 ],
             )
 
-    return obs.groupBy(key).applyInPandasWithState(
+    src = obs.withColumn("_nn", F.col(value_col).isNotNull())
+    return src.groupBy(key).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -174,3 +174,26 @@ def test_multimodal_features_decode_jpeg_payloads(spark):
     want = hist.astype(np.float32)
     want = want / np.linalg.norm(want)
     assert np.allclose(v, want, atol=1e-6)
+
+
+def test_single_component_scan_ignores_sof_sampling_factors():
+    """T.81 A.2.3: a single-component scan is non-interleaved raster
+    order regardless of SOF h/v — a grayscale frame declaring h=v=2
+    (libjpeg emits these) must decode identically to h=v=1."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    jp = encode_jpeg(img, quality_scale=2)
+    i = jp.find(b"\xff\xc0")
+    assert jp[i + 11] == 0x11
+    patched = jp[: i + 11] + b"\x22" + jp[i + 12 :]
+    assert (decode_jpeg(patched) == decode_jpeg(jp)).all()
+
+
+def test_truncated_entropy_stream_raises_valueerror():
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)  # dense entropy
+    jp = encode_jpeg(img, quality_scale=8)
+    sos = jp.find(b"\xff\xda")
+    truncated = jp[: sos + 12]  # 2 bytes into the entropy data
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(truncated)

@@ -121,3 +121,62 @@ def test_filter_job_incremental(spark, tmp_path, capsys):
         for r in kalman_level(hist, "value", key="user_id", ts="ts").collect()
     }
     assert got == want
+
+
+def test_nan_values_match_batch_semantics(spark, tmp_path):
+    """A NaN VALUE is non-null: the batch filter's where-clause keeps it
+    and the recursion poisons subsequent levels to NaN. The stream must
+    reproduce that (NULL, by contrast, is skipped by both)."""
+    import math
+
+    from mintpy_spark.operators.kalman import kalman_level
+    from mintpy_spark.streaming.kalman_stream import streaming_kalman_level
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(hours=1), float("nan")),
+        (1, t0 + dt.timedelta(hours=2), 2.0),
+        (2, t0, None),
+        (2, t0 + dt.timedelta(hours=1), 5.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(inp)
+    src = spark.readStream.schema(SCHEMA).parquet(inp)
+    q = (
+        streaming_kalman_level(src)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["rn"]): r["level"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    want = {
+        (r["user_id"], r["rn"]): r["level"]
+        for r in kalman_level(
+            spark.createDataFrame(rows, SCHEMA), "value",
+            key="user_id", ts="ts",
+        ).collect()
+    }
+    assert set(got) == set(want)
+
+    def same(a, b):
+        if a is None or b is None:
+            return a is b
+        return a == b or (math.isnan(a) and math.isnan(b))
+
+    for k in want:
+        assert same(got[k], want[k]), (k, got[k], want[k])
+    # key 1: NaN at rn=2 poisons rn>=2 (NaN surfaces as NULL through the
+    # Arrow boundary in BOTH paths — identically); key 2: NULL skipped
+    assert got[(1, 1)] == 1.0
+    assert got[(1, 2)] is None and got[(1, 3)] is None
+    assert want[(1, 2)] is None and want[(1, 3)] is None
+    assert got[(2, 1)] == 5.0 and (2, 2) not in got
