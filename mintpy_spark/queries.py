@@ -408,7 +408,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 144 entries: 0 red-in-latest-driver-check first, then 144 never
+# 145 entries: 0 red-in-latest-driver-check first, then 145 never
 # driver-checked (registry minus 163 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "downsample_ltob_1d",
@@ -432,6 +432,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "growth_accounting_daily",
     "hll_merge_30d_distinct",
+    "holt_winters_realtime_check",
     "holt_winters_weekly",
     "hurst_rs_daily",
     "index_bm25_topk",

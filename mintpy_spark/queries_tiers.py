@@ -1664,3 +1664,116 @@ def sessionize_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@_q(
+    "holt_winters_realtime_check",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+             y
+      FROM daily
+    ), rec AS (
+      SELECT user_id, rn, y, y AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(0 AS DOUBLE) AS s0, CAST(0 AS DOUBLE) AS s1,
+             CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3,
+             CAST(0 AS DOUBLE) AS s4, CAST(0 AS DOUBLE) AS s5,
+             CAST(0 AS DOUBLE) AS s6
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.y,
+             {_L_NEW} AS l,
+             {_B_NEW} AS b,
+             {_SLOTS}
+      FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+    )
+    SELECT user_id, rn,
+           CAST(FLOOR(l * 10000) AS BIGINT) AS level_e4,
+           CAST(FLOOR(b * 10000) AS BIGINT) AS trend_e4,
+           CAST(FLOOR(CASE WHEN rn = 1 THEN 0
+                WHEN (rn - 1) % 7 = 0 THEN s0 WHEN (rn - 1) % 7 = 1 THEN s1
+                WHEN (rn - 1) % 7 = 2 THEN s2 WHEN (rn - 1) % 7 = 3 THEN s3
+                WHEN (rn - 1) % 7 = 4 THEN s4 WHEN (rn - 1) % 7 = 5 THEN s5
+                ELSE s6 END * 10000) AS BIGINT) AS seasonal_e4
+    FROM rec
+    """,
+)
+def holt_winters_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Holt-Winters smoother under the batch oracle:
+    finalized daily cent-sum buckets (the watermark-finalized 1d tier's
+    output contract) replay through a real two-restart Structured
+    Streaming run (streaming/holtwinters_stream.py) split at the median
+    day — state (level, trend, 7 seasonal slots) restored from the
+    checkpoint between restarts — and the union of emitted rows is
+    hashed against the same recursive-CTE oracle that certifies the
+    batch pass (holt_winters_weekly). The daily pre-aggregation is
+    integer-cents, so computing it in batch before the split is
+    order-free and legitimate.
+
+    Scale: P + 2 doubles of state per key; micro-batch cost is one
+    key-partition shuffle of the delta. The bounded .collect() pulls one
+    median day.
+    """
+    from mintpy_spark.streaming.holtwinters_stream import (
+        streaming_holt_winters,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    us = F.expr("unix_micros(cast(bucket_start as timestamp))")
+    mid = daily.select(
+        F.percentile_approx(us, 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="hw_rt_check_")
+    inp, outp, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    schema = "user_id long, bucket_start timestamp, y double"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_holt_winters(
+                src, "y", key="user_id", ts="bucket_start",
+                alpha=_A, beta=_B, gamma=_G,
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    daily.where(us <= mid).write.mode("append").parquet(inp)
+    run_once()
+    daily.where(us > mid).write.mode("append").parquet(inp)
+    run_once()
+
+    out = (
+        spark.read.parquet(outp)
+        .select(
+            "user_id",
+            "rn",
+            F.floor(F.col("level") * 10000).cast("long").alias("level_e4"),
+            F.floor(F.col("trend") * 10000).cast("long").alias("trend_e4"),
+            F.floor(F.col("seasonal") * 10000).cast("long")
+            .alias("seasonal_e4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
