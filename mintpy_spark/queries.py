@@ -408,7 +408,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 145 entries: 0 red-in-latest-driver-check first, then 145 never
+# 146 entries: 0 red-in-latest-driver-check first, then 146 never
 # driver-checked (registry minus 163 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "downsample_ltob_1d",
@@ -553,6 +553,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "wasserstein_drift_weekly",
     "welch_weekday_weekend",
     "welford_online_var",
+    "welford_realtime_check",
     "winsorized_daily_mean",
     "xcorr_daily_lag",
     "zorder_cell_stats",

@@ -1777,3 +1777,101 @@ def holt_winters_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@_q(
+    "welford_realtime_check",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, value)
+               AS rn,
+             CAST(value AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+    ), rec AS (
+      SELECT user_id, rn, CAST(1 AS BIGINT) AS n, y AS mean,
+             CAST(0 AS DOUBLE) AS m2
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, rec.n + 1,
+             {_MEAN_NEW},
+             rec.m2 + (s.y - rec.mean) * (s.y - {_MEAN_NEW})
+      FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+    )
+    SELECT user_id,
+           CAST(arg_max(n, rn) AS BIGINT) AS n,
+           CAST(FLOOR(arg_max(mean, rn) * 1000000) AS BIGINT) AS mean_e6,
+           CAST(FLOOR(arg_max(m2, rn) * 1000000) AS BIGINT) AS m2_e6,
+           CASE WHEN arg_max(n, rn) > 1 THEN
+             CAST(FLOOR(arg_max(m2, rn)
+                        / CAST(arg_max(n, rn) - 1 AS DOUBLE) * 1000000)
+                  AS BIGINT) END AS var_e6
+    FROM rec GROUP BY user_id
+    """,
+)
+def welford_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Welford moments under the batch oracle: replay
+    events through a real two-restart Structured Streaming run
+    (streaming/welford_stream.py) split at the median timestamp — state
+    (n, mean, M2) restored from the checkpoint between restarts — then
+    take each key's final state row (max n) and hash it against the same
+    recursive-CTE oracle that certifies the batch pass
+    (welford_online_var). The fourth sequential-state streaming twin
+    after Kalman, Holt-Winters and the gap sessionizer.
+
+    Scale: three doubles of state per key; micro-batch cost is one
+    key-partition shuffle of the delta. The bounded .collect() pulls one
+    median timestamp.
+    """
+    from mintpy_spark.streaming.welford_stream import streaming_welford
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    mid = ev.select(
+        F.percentile_approx(us, 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="welford_rt_check_")
+    inp, outp, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_welford(src, "value", key="user_id", ts="ts")
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = ev.select("user_id", "ts", "value")
+    half.where(us <= mid).write.mode("append").parquet(inp)
+    run_once()
+    half.where(us > mid).write.mode("append").parquet(inp)
+    run_once()
+
+    final = (
+        spark.read.parquet(outp)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("mean", "n").alias("mean"),
+            F.max_by("m2", "n").alias("m2"),
+        )
+    )
+    out = final.select(
+        "user_id",
+        "n",
+        F.floor(F.col("mean") * 1000000).cast("long").alias("mean_e6"),
+        F.floor(F.col("m2") * 1000000).cast("long").alias("m2_e6"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                F.col("m2") / (F.col("n") - 1).cast("double") * 1000000
+            ).cast("long"),
+        ).alias("var_e6"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
