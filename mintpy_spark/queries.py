@@ -408,7 +408,7 @@ def _ensure_ext() -> None:
 # after each round's CORRECTNESS file lands (tests/test_registry.py fails
 # if it goes stale).
 # --- DRIVER_PRIORITY generated by tools/rebuild_priority.py ---
-# 146 entries: 0 red-in-latest-driver-check first, then 146 never
+# 147 entries: 0 red-in-latest-driver-check first, then 147 never
 # driver-checked (registry minus 163 keys across CORRECTNESS_r*.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "downsample_ltob_1d",
@@ -534,6 +534,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "time_to_convert_quantiles",
     "time_weighted_median",
     "token_bucket_admission",
+    "token_bucket_realtime_check",
     "token_rank_shift_weekly",
     "trend_break_detect",
     "truncation_loss_audit",

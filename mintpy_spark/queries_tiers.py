@@ -1875,3 +1875,101 @@ def welford_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@_q(
+    "token_bucket_realtime_check",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             epoch_us(ts) AS t
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, t,
+             CAST({_CAP} - {_COST} AS BIGINT) AS tokens,
+             CAST(1 AS BIGINT) AS admitted
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.t,
+             CASE WHEN least({_CAP}, rec.tokens
+                        + (e.t - rec.t) * {_RATE_MT_PER_HOUR}
+                          // {_US_PER_HOUR}) >= {_COST}
+                  THEN least({_CAP}, rec.tokens
+                        + (e.t - rec.t) * {_RATE_MT_PER_HOUR}
+                          // {_US_PER_HOUR}) - {_COST}
+                  ELSE least({_CAP}, rec.tokens
+                        + (e.t - rec.t) * {_RATE_MT_PER_HOUR}
+                          // {_US_PER_HOUR}) END,
+             CASE WHEN least({_CAP}, rec.tokens
+                        + (e.t - rec.t) * {_RATE_MT_PER_HOUR}
+                          // {_US_PER_HOUR}) >= {_COST}
+                  THEN 1 ELSE 0 END
+      FROM rec JOIN e ON e.user_id = rec.user_id AND e.rn = rec.rn + 1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_events,
+           CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+           CAST(COUNT(*) - SUM(admitted) AS BIGINT) AS n_rejected,
+           CAST(arg_max(tokens, rn) AS BIGINT) AS final_tokens_mt
+    FROM rec GROUP BY user_id
+    """,
+)
+def token_bucket_realtime_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING token bucket under the batch oracle: events replay
+    through a real two-restart Structured Streaming run
+    (streaming/bucket_stream.py) split at the median timestamp — integer
+    bucket state restored from the checkpoint — and the per-key
+    aggregate of emitted decisions is hashed against the same
+    recursive-CTE oracle as the batch simulation
+    (token_bucket_admission). Exact integer state, so stream == batch
+    cannot even ulp-drift; the check certifies the state carry, restart
+    recovery, and replay skip.
+
+    Scale: four longs of state per key; micro-batch cost is one
+    key-partition shuffle of the delta.
+    """
+    from mintpy_spark.streaming.bucket_stream import streaming_token_bucket
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    mid = ev.select(
+        F.percentile_approx(us, 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="bucket_rt_check_")
+    inp, outp, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    schema = "user_id long, ts timestamp"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_token_bucket(src, key="user_id", ts="ts")
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = ev.select("user_id", "ts")
+    half.where(us <= mid).write.mode("append").parquet(inp)
+    run_once()
+    half.where(us > mid).write.mode("append").parquet(inp)
+    run_once()
+
+    out = (
+        spark.read.parquet(outp)
+        .groupBy("user_id")
+        .agg(
+            F.max("rn").alias("n_events"),
+            F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+            (F.max("rn") - F.sum(F.col("admitted").cast("long")))
+            .alias("n_rejected"),
+            F.max_by("tokens_mt", "rn").alias("final_tokens_mt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
